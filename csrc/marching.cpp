@@ -1,0 +1,285 @@
+// Iso-surface extraction from dense SDF grids via marching tetrahedra.
+//
+// Host-side companion to the TPU grid evaluator: the device produces logits
+// for a res^3 lattice, this library produces (vertices, triangles).
+//
+// Design notes:
+//  - Kuhn 6-tetrahedra cube subdivision around the main diagonal (0 -> 7);
+//    identical orientation in every cube makes face diagonals agree between
+//    neighbors, so the output is watertight on closed iso-surfaces.
+//  - No triangulation lookup tables: tetra cases are enumerated directly
+//    (1-inside -> 1 triangle, 2-inside -> quad -> 2 triangles) and each
+//    triangle's winding is fixed by a geometric test against the inside /
+//    outside centroids.  This removes the classic wrong-table-entry failure
+//    mode entirely.
+//  - Vertices are deduplicated on global grid-edge keys, shared across cubes.
+//  - Parallelized over z-slabs with per-thread buffers merged at the end.
+//
+// Convention: emits the boundary of {field > iso}.  The Python wrapper
+// mirrors the reference pipeline (negated SDF logits at iso 0, see
+// reference utils/reconstruction.py:22-37) and rescales vertices to world
+// coordinates.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct V3 {
+  float x, y, z;
+};
+
+static inline V3 sub(const V3& a, const V3& b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline V3 cross(const V3& a, const V3& b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+static inline float dot(const V3& a, const V3& b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+
+// Kuhn subdivision: 6 tets (0, a, b, 7) where (a, b) walks the edge path
+// 1 -> 3 -> 2 -> 6 -> 4 -> 5 -> 1 around the cube. Corner id = 4x + 2y + z.
+static const int kTets[6][4] = {
+    {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
+    {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7},
+};
+
+struct Chunk {
+  std::vector<float> verts;     // xyz triplets, grid-index coordinates
+  std::vector<int64_t> vkeys;   // global edge key per emitted vertex
+  std::vector<int64_t> tris;    // indices into the *local* vertex list
+};
+
+struct Ctx {
+  const float* grid;
+  int rx, ry, rz;
+  float iso;
+};
+
+static inline int64_t gid(const Ctx& c, int64_t x, int64_t y, int64_t z) {
+  return (x * c.ry + y) * c.rz + z;
+}
+
+// Emit one triangle with winding such that its normal points from the
+// inside region (field > iso) toward outside.
+static inline void emit_tri(Chunk& ch, const V3 p[3], const int64_t key[3],
+                            const V3& inward) {
+  V3 n = cross(sub(p[1], p[0]), sub(p[2], p[0]));
+  int64_t base = (int64_t)ch.vkeys.size();
+  int order[3] = {0, 1, 2};
+  if (dot(n, inward) > 0.f) {  // normal points toward inside: flip
+    order[1] = 2;
+    order[2] = 1;
+  }
+  for (int k = 0; k < 3; ++k) {
+    const V3& q = p[order[k]];
+    ch.verts.push_back(q.x);
+    ch.verts.push_back(q.y);
+    ch.verts.push_back(q.z);
+    ch.vkeys.push_back(key[order[k]]);
+    ch.tris.push_back(base + k);
+  }
+}
+
+static void march_slab(const Ctx& c, int z0, int z1, Chunk& ch) {
+  const int rx = c.rx, ry = c.ry, rz = c.rz;
+  const float iso = c.iso;
+  // corner offsets by id = 4x+2y+z
+  const int off[8][3] = {{0, 0, 0}, {0, 0, 1}, {0, 1, 0}, {0, 1, 1},
+                         {1, 0, 0}, {1, 0, 1}, {1, 1, 0}, {1, 1, 1}};
+  for (int x = 0; x < rx - 1; ++x) {
+    for (int y = 0; y < ry - 1; ++y) {
+      const float* col0 = c.grid + gid(c, x, y, 0);
+      const float* col1 = c.grid + gid(c, x, y + 1, 0);
+      const float* col2 = c.grid + gid(c, x + 1, y, 0);
+      const float* col3 = c.grid + gid(c, x + 1, y + 1, 0);
+      for (int z = z0; z < z1; ++z) {
+        float v[8];
+        v[0] = col0[z];     // (0,0,0)
+        v[1] = col0[z + 1]; // (0,0,1)
+        v[2] = col1[z];     // (0,1,0)
+        v[3] = col1[z + 1];
+        v[4] = col2[z];     // (1,0,0)
+        v[5] = col2[z + 1];
+        v[6] = col3[z];     // (1,1,0)
+        v[7] = col3[z + 1];
+        // fast reject: no sign change in the cube
+        bool any_in = false, any_out = false;
+        for (int k = 0; k < 8; ++k) {
+          if (v[k] > iso) any_in = true; else any_out = true;
+        }
+        if (!any_in || !any_out) continue;
+
+        V3 p[8];
+        int64_t g[8];
+        for (int k = 0; k < 8; ++k) {
+          p[k] = {(float)(x + off[k][0]), (float)(y + off[k][1]),
+                  (float)(z + off[k][2])};
+          g[k] = gid(c, x + off[k][0], y + off[k][1], z + off[k][2]);
+        }
+
+        for (int t = 0; t < 6; ++t) {
+          const int* T = kTets[t];
+          int inside[4], n_in = 0;
+          for (int k = 0; k < 4; ++k)
+            if (v[T[k]] > iso) inside[n_in++] = k;
+          if (n_in == 0 || n_in == 4) continue;
+
+          // crossing point on tet edge (a_local, b_local)
+          auto cut = [&](int a, int b, V3& q, int64_t& key) {
+            int ga = T[a], gb = T[b];
+            float va = v[ga], vb = v[gb];
+            float tt = (iso - va) / (vb - va);
+            if (tt < 0.f) tt = 0.f;
+            if (tt > 1.f) tt = 1.f;
+            q = {p[ga].x + tt * (p[gb].x - p[ga].x),
+                 p[ga].y + tt * (p[gb].y - p[ga].y),
+                 p[ga].z + tt * (p[gb].z - p[ga].z)};
+            int64_t lo = g[ga] < g[gb] ? g[ga] : g[gb];
+            int64_t hi = g[ga] < g[gb] ? g[gb] : g[ga];
+            key = lo * (int64_t)rx * ry * rz + hi;
+          };
+
+          // centroid of inside corners (for winding)
+          V3 cin = {0, 0, 0}, cout = {0, 0, 0};
+          int n_out = 0;
+          for (int k = 0; k < 4; ++k) {
+            if (v[T[k]] > iso) {
+              cin.x += p[T[k]].x; cin.y += p[T[k]].y; cin.z += p[T[k]].z;
+            } else {
+              cout.x += p[T[k]].x; cout.y += p[T[k]].y; cout.z += p[T[k]].z;
+              ++n_out;
+            }
+          }
+          cin.x /= n_in; cin.y /= n_in; cin.z /= n_in;
+          cout.x /= n_out; cout.y /= n_out; cout.z /= n_out;
+          V3 inward = sub(cin, cout);  // points toward inside
+
+          if (n_in == 1 || n_in == 3) {
+            // single separated corner: one triangle on its 3 edges
+            int a = -1;
+            if (n_in == 1) a = inside[0];
+            else {  // single outside corner
+              for (int k = 0; k < 4; ++k) {
+                bool is_in = false;
+                for (int m = 0; m < n_in; ++m) is_in |= (inside[m] == k);
+                if (!is_in) { a = k; break; }
+              }
+            }
+            V3 q[3];
+            int64_t key[3];
+            int j = 0;
+            for (int b = 0; b < 4; ++b) {
+              if (b == a) continue;
+              cut(a, b, q[j], key[j]);
+              ++j;
+            }
+            emit_tri(ch, q, key, inward);
+          } else {  // n_in == 2: quad on the 4 cut edges
+            int a = inside[0], b = inside[1];
+            int others[2], j = 0;
+            for (int k = 0; k < 4; ++k)
+              if (k != a && k != b) others[j++] = k;
+            int cc = others[0], d = others[1];
+            V3 q_ac, q_ad, q_bd, q_bc;
+            int64_t k_ac, k_ad, k_bd, k_bc;
+            cut(a, cc, q_ac, k_ac);
+            cut(a, d, q_ad, k_ad);
+            cut(b, d, q_bd, k_bd);
+            cut(b, cc, q_bc, k_bc);
+            // quad cycle q_ac -> q_ad -> q_bd -> q_bc
+            {
+              V3 tri1[3] = {q_ac, q_ad, q_bd};
+              int64_t kk1[3] = {k_ac, k_ad, k_bd};
+              emit_tri(ch, tri1, kk1, inward);
+              V3 tri2[3] = {q_ac, q_bd, q_bc};
+              int64_t kk2[3] = {k_ac, k_bd, k_bc};
+              emit_tri(ch, tri2, kk2, inward);
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller frees out_verts/out_faces with nphm_free.
+// Vertices are in grid-index coordinates (voxel units).
+int nphm_marching_tets(const float* grid, int rx, int ry, int rz, float iso,
+                       float** out_verts, int64_t* n_verts,
+                       int32_t** out_faces, int64_t* n_faces) {
+  Ctx ctx{grid, rx, ry, rz, iso};
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = hw ? (int)hw : 4;
+  if (n_threads > rz - 1) n_threads = rz - 1;
+  if (n_threads < 1) n_threads = 1;
+
+  std::vector<Chunk> chunks(n_threads);
+  std::vector<std::thread> threads;
+  int per = (rz - 1 + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int z0 = i * per;
+    int z1 = z0 + per < rz - 1 ? z0 + per : rz - 1;
+    if (z0 >= z1) { continue; }
+    threads.emplace_back(march_slab, std::cref(ctx), z0, z1,
+                         std::ref(chunks[i]));
+  }
+  for (auto& t : threads) t.join();
+
+  // merge with global vertex dedup on edge keys
+  std::unordered_map<int64_t, int32_t> vmap;
+  size_t tot_tris = 0;
+  for (auto& ch : chunks) tot_tris += ch.tris.size() / 3;
+  vmap.reserve(tot_tris);
+
+  std::vector<float> verts;
+  verts.reserve(tot_tris * 2);
+  std::vector<int32_t> faces;
+  faces.reserve(tot_tris * 3);
+
+  for (auto& ch : chunks) {
+    std::vector<int32_t> remap(ch.vkeys.size());
+    for (size_t i = 0; i < ch.vkeys.size(); ++i) {
+      auto it = vmap.find(ch.vkeys[i]);
+      if (it == vmap.end()) {
+        int32_t id = (int32_t)(verts.size() / 3);
+        vmap.emplace(ch.vkeys[i], id);
+        verts.push_back(ch.verts[3 * i]);
+        verts.push_back(ch.verts[3 * i + 1]);
+        verts.push_back(ch.verts[3 * i + 2]);
+        remap[i] = id;
+      } else {
+        remap[i] = it->second;
+      }
+    }
+    for (size_t i = 0; i < ch.tris.size(); i += 3) {
+      int32_t a = remap[ch.tris[i]];
+      int32_t b = remap[ch.tris[i + 1]];
+      int32_t cidx = remap[ch.tris[i + 2]];
+      if (a == b || b == cidx || a == cidx) continue;  // degenerate
+      faces.push_back(a);
+      faces.push_back(b);
+      faces.push_back(cidx);
+    }
+  }
+
+  *n_verts = (int64_t)(verts.size() / 3);
+  *n_faces = (int64_t)(faces.size() / 3);
+  *out_verts = (float*)std::malloc(verts.size() * sizeof(float));
+  *out_faces = (int32_t*)std::malloc(faces.size() * sizeof(int32_t));
+  if ((verts.size() && !*out_verts) || (faces.size() && !*out_faces)) return -1;
+  std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
+  std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
+  return 0;
+}
+
+void nphm_free(void* p) { std::free(p); }
+
+}  // extern "C"

@@ -1,0 +1,170 @@
+"""Mesh IO, marching tetrahedra, and (sharded) grid extraction tests."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nphm_tpu.ops.grid import create_grid_points_from_bounds
+from nphm_tpu.ops.marching import marching_tets, mesh_from_logits
+from nphm_tpu.parallel import get_device_mesh
+from nphm_tpu.reconstruction import (
+    deform_mesh,
+    extract_mesh,
+    get_logits,
+    make_point_evaluator,
+)
+from nphm_tpu.utils.mesh_io import Mesh, read_ply, write_ply
+
+
+# --- PLY IO -----------------------------------------------------------------
+
+
+def _toy_mesh():
+    v = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32
+    )
+    f = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int64)
+    return Mesh(v, f)
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_ply_roundtrip(tmp_path, binary):
+    m = _toy_mesh()
+    colors = np.array([[255, 0, 0, 255]] * 4, np.uint8)
+    path = str(tmp_path / "m.ply")
+    write_ply(path, m.vertices, m.faces, normals=m.vertex_normals, colors=colors, binary=binary)
+    m2 = read_ply(path)
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-6)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+    np.testing.assert_array_equal(m2.vertex_colors, colors)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/assets/template.ply"),
+    reason="reference assets unavailable",
+)
+def test_ply_reads_reference_assets():
+    m = read_ply("/root/reference/assets/template.ply")
+    assert m.vertices.shape == (5023, 3)
+    assert m.faces.shape[1] == 3 and len(m.faces) >= 9976
+    assert m.vertex_colors is not None
+    m2 = read_ply("/root/reference/assets/better_face_region.ply")
+    assert m2.vertices.shape == (1664, 3)
+
+
+def test_mesh_helpers():
+    m = _toy_mesh()
+    assert np.all(m.face_areas > 0)
+    n = m.vertex_normals
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-5)
+    sub = m.submesh_by_vertex_mask(np.array([True, True, True, False]))
+    assert len(sub.vertices) == 3 and len(sub.faces) == 1
+
+
+# --- marching tetrahedra ----------------------------------------------------
+
+
+def test_marching_tets_sphere():
+    res = 64
+    pts = create_grid_points_from_bounds([-1, -1, -1], [1, 1, 1], res)
+    sdf = np.linalg.norm(pts, axis=-1) - 0.6
+    mesh = mesh_from_logits(sdf, [-1, -1, -1], [1, 1, 1], res)
+    r = np.linalg.norm(mesh.vertices, axis=-1)
+    assert abs(r.mean() - 0.6) < 2e-3
+    assert r.std() < 2e-3
+    # watertight: every undirected edge shared by exactly two faces
+    f = mesh.faces
+    edges = np.sort(np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert set(counts.tolist()) == {2}
+    # outward orientation
+    fn = mesh.face_normals
+    cent = mesh.vertices[f].mean(axis=1)
+    assert np.mean(np.sum(fn * cent, -1) > 0) == 1.0
+
+
+def test_marching_tets_translated_ellipsoid():
+    res = 48
+    mini, maxi = [-1, -1.5, -0.5], [1.2, 0.8, 1.5]
+    pts = create_grid_points_from_bounds(mini, maxi, res)
+    c = np.array([0.1, -0.3, 0.4])
+    radii = np.array([0.5, 0.7, 0.3])
+    sdf = np.linalg.norm((pts - c) / radii, axis=-1) - 1.0  # approx sdf
+    mesh = mesh_from_logits(sdf, mini, maxi, res)
+    q = np.linalg.norm((mesh.vertices - c) / radii, axis=-1)
+    assert np.abs(q - 1.0).max() < 0.05
+
+
+def test_marching_tets_empty():
+    grid = -np.ones((8, 8, 8), np.float32)
+    v, f = marching_tets(grid, 0.0)
+    assert len(v) == 0 and len(f) == 0
+
+
+# --- chunked / sharded evaluation -------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SphereDecoder:
+    radius: float = 0.5
+
+    def apply(self, params, xyz, lat, **_):
+        sdf = jnp.linalg.norm(xyz, axis=-1, keepdims=True) - self.radius
+        return sdf + params["bias"] + 0.0 * lat.sum(), None
+
+
+def test_point_evaluator_padding():
+    def point_fn(ctx, pts):
+        return jnp.sum(pts**2, axis=-1, keepdims=True) + ctx["c"]
+
+    ev = make_point_evaluator(point_fn, chunk_size=128)
+    pts = np.random.default_rng(0).normal(size=(1000, 3)).astype(np.float32)
+    out = ev({"c": 1.0}, pts)
+    assert out.shape == (1000, 1)
+    np.testing.assert_allclose(out[:, 0], (pts**2).sum(-1) + 1.0, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_extract_mesh_sphere(use_mesh):
+    dec = SphereDecoder(0.5)
+    params = {"bias": jnp.zeros(())}
+    mesh = get_device_mesh() if use_mesh else None
+    assert mesh is None or mesh.devices.size == 8
+    tri = extract_mesh(
+        dec, params, np.zeros((1, 4), np.float32),
+        mini=(-1, -1, -1), maxi=(1, 1, 1), resolution=48,
+        chunk_size=2048, mesh=mesh,
+    )
+    r = np.linalg.norm(tri.vertices, axis=-1)
+    assert abs(r.mean() - 0.5) < 3e-3
+
+
+def test_get_logits_matches_direct():
+    dec = SphereDecoder(0.4)
+    params = {"bias": jnp.zeros(())}
+    pts = create_grid_points_from_bounds([-1, -1, -1], [1, 1, 1], 16)
+    logits = get_logits(dec, params, np.zeros((1, 2), np.float32), pts, chunk_size=512)
+    np.testing.assert_allclose(
+        logits, np.linalg.norm(pts, axis=-1) - 0.4, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_deform_mesh_translation():
+    @dataclasses.dataclass(frozen=True)
+    class Translator:
+        def apply(self, params, xyz, lat, anchors=None, **_):
+            return jnp.broadcast_to(params["t"], xyz.shape), None
+
+    m = _toy_mesh()
+    out = deform_mesh(
+        m, Translator(), {"t": jnp.asarray([0.1, 0.2, -0.3])},
+        np.zeros((1, 8), np.float32), chunk_size=64,
+    )
+    np.testing.assert_allclose(
+        out.vertices, m.vertices + np.array([0.1, 0.2, -0.3]), rtol=1e-6
+    )
+    np.testing.assert_array_equal(out.faces, m.faces)
