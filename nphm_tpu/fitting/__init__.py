@@ -1,0 +1,18 @@
+from nphm_tpu.fitting.broyden import broyden, search
+from nphm_tpu.fitting.inference import (
+    FittingConfig,
+    fit_identity,
+    fit_joint,
+    default_joint_lambdas,
+    default_joint_schedule,
+)
+
+__all__ = [
+    "broyden",
+    "search",
+    "FittingConfig",
+    "fit_identity",
+    "fit_joint",
+    "default_joint_lambdas",
+    "default_joint_schedule",
+]

@@ -1,0 +1,400 @@
+"""Latent-code fitting engines (the inference path of the framework).
+
+Behavioral spec: reference ``src/NPHM/models/fitting.py``:
+- ``fit_joint`` == ``inference_iterative_root_finding_joint`` (:14-177):
+  jointly optimize one identity code and per-observation expression codes
+  against |SDF| at Broyden-found canonical correspondences, with
+  implicit-function-theorem gradients through the root, step-scheduled loss
+  clamping, and hand-tuned lr/lambda division schedules.
+- ``fit_identity`` == ``inference_identity_space`` (:180-285): the same
+  without the deformation/root-finding stage.
+
+TPU-first: schedules are precomputed on the host into step-indexed arrays, and
+the entire optimization (sampling -> root finding -> losses -> two Adam
+updates) compiles to ONE jit containing a ``lax.scan`` over steps — no
+per-step dispatch, no recompilation.  Observation clouds of ragged sizes are
+padded once; subsampling draws indices below each cloud's true length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nphm_tpu.fitting.broyden import ift_correction, search
+from nphm_tpu.utils.math import safe_l2norm, sq_norm
+
+
+def default_joint_lambdas() -> Dict[str, float]:
+    """Hand-tuned loss weights of the reference fitting script
+    (fitting_pointclouds.py:253-259)."""
+    return {
+        "surface": 2.0,
+        "reg_expr": 0.01,
+        "reg_global": 0.25,
+        "reg_unobserved": 10.0,
+        "reg_loc": 0.05,
+        "symm_dist": 5.0,
+    }
+
+
+def default_joint_schedule() -> Dict[str, Dict[int, float]]:
+    """Step-indexed divisors (fitting_pointclouds.py:261-266)."""
+    return {
+        "lr": {200: 2, 400: 2, 600: 2, 800: 2},
+        "symm_dist": {200: 10, 500: 9999},
+        "reg_global": {200: 3, 600: 10},
+        "reg_loc": {500: 3, 600: 10},
+        "reg_expr": {600: 10},
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class FittingConfig:
+    n_steps: int = 1000
+    step_scale: float = 1.0
+    lr: float = 0.01
+    lr_scale: float = 1.0
+    n_obs_per_batch: int = 5
+    n_points_per_obs: int = 1000
+    clamp_schedule: Sequence = ((0, 0.1), (250, 0.05), (500, 0.0075))
+    unobserved_anchors: Sequence[int] = (30, 31, 39)
+    broyden_max_steps: int = 15
+    broyden_cvg: float = 1e-6
+    broyden_dvg: float = 0.2
+    training_mode_shape: bool = True  # reference fits with decoder_shape.train()
+    log_every: int = 50
+    seed: int = 0
+
+    @property
+    def total_steps(self) -> int:
+        return int(self.n_steps * self.step_scale)
+
+
+def _scheduled_array(
+    base: float, events: Dict[int, float], total: int, step_scale: float
+) -> np.ndarray:
+    """Value per step under the reference's cumulative-division semantics."""
+    out = np.zeros(total, np.float32)
+    cur = base
+    for j in range(total):
+        if int(j / step_scale) in events:
+            cur = cur / events[int(j / step_scale)]
+        out[j] = cur
+    return out
+
+
+def _clamp_array(schedule, total: int, step_scale: float) -> np.ndarray:
+    """|sdf| clamp threshold per step (reference fitting.py:125-133: the base
+    threshold applies always; tighter ones kick in strictly after their step)."""
+    out = np.zeros(total, np.float32)
+    for j in range(total):
+        thresh = None
+        for after, value in schedule:
+            if after == 0 or j > int(after * step_scale):
+                thresh = value
+        out[j] = thresh
+    return out
+
+
+def _pad_observations(all_obs: List[np.ndarray]):
+    lens = np.asarray([len(o) for o in all_obs], np.int32)
+    max_n = int(lens.max())
+    padded = np.zeros((len(all_obs), max_n, 3), np.float32)
+    for i, o in enumerate(all_obs):
+        padded[i, : len(o)] = np.asarray(o, np.float32)[:, :3]
+    return jnp.asarray(padded), jnp.asarray(lens)
+
+
+def _sample_obs(rng, padded, lens, n_obs_batch, n_points):
+    """Sample observation rows (with replacement) and point subsets."""
+    k1, k2 = jax.random.split(rng)
+    sel = jax.random.randint(k1, (n_obs_batch,), 0, padded.shape[0])
+    idx = jax.random.randint(
+        k2, (n_obs_batch, n_points), 0, lens[sel][:, None]
+    )
+    pts = jnp.take_along_axis(padded[sel], idx[..., None], axis=1)
+    return sel, pts
+
+
+def _masked_mean(values, mask):
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(values * mask) / denom
+
+
+def _shape_regularizers(decoder, lat_shape, unobserved):
+    """Latent regularizers for the ensemble decoder's structured code
+    (reference fitting.py:140-160)."""
+    terms = {}
+    if decoder.lat_dim_glob is not None:
+        g, l = decoder.lat_dim_glob, decoder.lat_dim_loc
+        terms["reg_loc"] = jnp.mean(sq_norm(lat_shape[..., g:]))
+        terms["reg_global"] = jnp.mean(sq_norm(lat_shape[..., :g]))
+        reg_unobserved = 0.0
+        for idx in unobserved:
+            sl = lat_shape[..., g + idx * l : g + (idx + 1) * l]
+            reg_unobserved += jnp.mean(sq_norm(sl))
+        terms["reg_unobserved"] = reg_unobserved
+        n_symm = decoder.n_symm_pairs
+        loc = lat_shape[..., g : g + 2 * n_symm * l].reshape(
+            lat_shape.shape[0], 2 * n_symm, l
+        )
+        terms["symm_dist"] = jnp.mean(safe_l2norm(loc[:, ::2] - loc[:, 1::2]))
+    else:
+        terms["reg_loc"] = jnp.zeros(())
+        terms["reg_global"] = jnp.mean(sq_norm(lat_shape))
+        terms["reg_unobserved"] = jnp.zeros(())
+        terms["symm_dist"] = jnp.zeros(())
+    return terms
+
+
+def _make_optimizer(lr_arr: jnp.ndarray):
+    return optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(lambda count: -lr_arr[jnp.minimum(count, lr_arr.shape[0] - 1)]),
+    )
+
+
+def fit_joint(
+    decoder_shape,
+    params_shape,
+    decoder_expr,
+    params_expr,
+    all_obs: List[np.ndarray],
+    lambdas: Optional[Dict[str, float]] = None,
+    schedule: Optional[Dict[str, Dict[int, float]]] = None,
+    cfg: FittingConfig = FittingConfig(),
+    lat_expr_init: Optional[np.ndarray] = None,
+    lat_shape_init: Optional[np.ndarray] = None,
+    verbose: bool = True,
+):
+    """Joint identity + expression fitting with Broyden correspondences.
+
+    Returns (lat_expr [n_obs, E], lat_shape [1, D], anchors, history dict).
+    """
+    lambdas = dict(lambdas or default_joint_lambdas())
+    schedule = schedule or default_joint_schedule()
+    total = cfg.total_steps
+
+    lr_arr = jnp.asarray(
+        _scheduled_array(cfg.lr * cfg.lr_scale, schedule.get("lr", {}), total, cfg.step_scale)
+    )
+    lam_arrs = {
+        k: jnp.asarray(_scheduled_array(v, schedule.get(k, {}), total, cfg.step_scale))
+        for k, v in lambdas.items()
+    }
+    clamp_arr = jnp.asarray(_clamp_array(cfg.clamp_schedule, total, cfg.step_scale))
+
+    padded, lens = _pad_observations(all_obs)
+    n_obs = len(all_obs)
+
+    lat_expr = (
+        jnp.zeros((n_obs, decoder_expr.lat_dim), jnp.float32)
+        if lat_expr_init is None
+        else jnp.asarray(lat_expr_init, jnp.float32).reshape(n_obs, -1)
+    )
+    lat_shape = (
+        jnp.zeros((1, decoder_shape.lat_dim), jnp.float32)
+        if lat_shape_init is None
+        else jnp.asarray(lat_shape_init, jnp.float32).reshape(1, -1)
+    )
+
+    opt_shape = _make_optimizer(lr_arr)
+    opt_expr = _make_optimizer(lr_arr)
+    opt_shape_state = opt_shape.init(lat_shape)
+    opt_expr_state = opt_expr.init(lat_expr)
+
+    base_key = jax.random.PRNGKey(cfg.seed)
+    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+    use_anchors = decoder_shape.lat_dim_glob is not None
+
+    def loss_fn(lat_s, lat_e, j, rng):
+        _, anchors = decoder_shape.apply(
+            params_shape,
+            jnp.zeros((1, 1, 3)),
+            lat_s,
+            training=cfg.training_mode_shape,
+        )
+        sel, obs = _sample_obs(rng, padded, lens, nb, npp)
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])), lat_e[sel]], axis=-1
+        )
+        anchors_b = (
+            jnp.broadcast_to(anchors, (nb,) + anchors.shape[1:])
+            if use_anchors and anchors is not None
+            else None
+        )
+
+        xc_opt, result = search(
+            decoder_expr,
+            params_expr,
+            obs,
+            cond,
+            anchors_b,
+            max_steps=cfg.broyden_max_steps,
+            cvg_thresh=cfg.broyden_cvg,
+            dvg_thresh=cfg.broyden_dvg,
+        )
+        xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
+
+        sdf, _ = decoder_shape.apply(
+            params_shape,
+            xc,
+            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
+            training=cfg.training_mode_shape,
+        )
+        l = jnp.abs(sdf[..., 0])
+        mask = jnp.logical_and(result["valid_ids"], l < clamp_arr[j]).astype(l.dtype)
+
+        terms = {"surface": _masked_mean(l, mask)}
+        terms["reg_expr"] = jnp.mean(sq_norm(lat_e[sel]))
+        terms.update(
+            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
+        )
+
+        loss = 0.0
+        for k in lambdas:
+            loss = loss + lam_arrs[k][j] * terms[k]
+        aux = dict(terms)
+        aux["n_valid"] = jnp.sum(result["valid_ids"].astype(jnp.float32))
+        return loss, aux
+
+    def step(carry, j):
+        lat_s, lat_e, os_state, oe_state = carry
+        rng = jax.random.fold_in(base_key, j)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            lat_s, lat_e, j, rng
+        )
+        g_s, g_e = grads
+        upd_s, os_state = opt_shape.update(g_s, os_state, lat_s)
+        lat_s = optax.apply_updates(lat_s, upd_s)
+        upd_e, oe_state = opt_expr.update(g_e, oe_state, lat_e)
+        lat_e = optax.apply_updates(lat_e, upd_e)
+        aux["loss"] = loss
+        return (lat_s, lat_e, os_state, oe_state), aux
+
+    @jax.jit
+    def run(carry):
+        return jax.lax.scan(step, carry, jnp.arange(total))
+
+    t0 = time.time()
+    (lat_shape, lat_expr, _, _), history = run(
+        (lat_shape, lat_expr, opt_shape_state, opt_expr_state)
+    )
+    history = {k: np.asarray(v) for k, v in history.items()}
+    elapsed = time.time() - t0
+    if verbose:
+        for j in range(0, total, max(1, cfg.log_every)):
+            msg = f"Step {j:5d} " + " ".join(
+                f"{k} {history[k][j]:02.6f}" for k in sorted(history) if k != "n_valid"
+            )
+            print(msg, int(history["n_valid"][j]))
+        print(f"[fit_joint] {total} steps in {elapsed:.1f}s "
+              f"({total / max(elapsed, 1e-9):.1f} it/s)")
+
+    _, anchors = decoder_shape.apply(
+        params_shape, jnp.zeros((1, 1, 3)), lat_shape, training=False
+    )
+    history["elapsed_s"] = elapsed
+    return np.asarray(lat_expr), np.asarray(lat_shape), (
+        None if anchors is None else np.asarray(anchors)
+    ), history
+
+
+def fit_identity(
+    decoder_shape,
+    params_shape,
+    all_obs: List[np.ndarray],
+    lambdas: Optional[Dict[str, float]] = None,
+    schedule: Optional[Dict[str, Dict[int, float]]] = None,
+    cfg: FittingConfig = FittingConfig(),
+    lat_shape_init: Optional[np.ndarray] = None,
+    verbose: bool = True,
+):
+    """Identity-space-only fitting (reference fitting.py:180-285)."""
+    lambdas = dict(
+        lambdas
+        or {
+            "surface": 2.0,
+            "reg_global": 0.25,
+            "reg_unobserved": 10.0,
+            "reg_loc": 0.05,
+            "symm_dist": 5.0,
+        }
+    )
+    schedule = schedule or default_joint_schedule()
+    total = cfg.total_steps
+
+    lr_arr = jnp.asarray(
+        _scheduled_array(cfg.lr * cfg.lr_scale, schedule.get("lr", {}), total, cfg.step_scale)
+    )
+    lam_arrs = {
+        k: jnp.asarray(_scheduled_array(v, schedule.get(k, {}), total, cfg.step_scale))
+        for k, v in lambdas.items()
+    }
+    clamp_arr = jnp.asarray(_clamp_array(cfg.clamp_schedule, total, cfg.step_scale))
+
+    padded, lens = _pad_observations(all_obs)
+    lat_shape = (
+        jnp.zeros((1, decoder_shape.lat_dim), jnp.float32)
+        if lat_shape_init is None
+        else jnp.asarray(lat_shape_init, jnp.float32).reshape(1, -1)
+    )
+    opt = _make_optimizer(lr_arr)
+    opt_state = opt.init(lat_shape)
+    base_key = jax.random.PRNGKey(cfg.seed)
+    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+
+    def loss_fn(lat_s, j, rng):
+        _sel, obs = _sample_obs(rng, padded, lens, nb, npp)
+        sdf, _ = decoder_shape.apply(
+            params_shape,
+            obs,
+            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
+            training=cfg.training_mode_shape,
+        )
+        l = jnp.abs(sdf[..., 0])
+        mask = (l < clamp_arr[j]).astype(l.dtype)
+        terms = {"surface": _masked_mean(l, mask)}
+        terms.update(
+            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
+        )
+        loss = 0.0
+        for k in lambdas:
+            loss = loss + lam_arrs[k][j] * terms[k]
+        return loss, terms
+
+    def step(carry, j):
+        lat_s, o_state = carry
+        rng = jax.random.fold_in(base_key, j)
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(lat_s, j, rng)
+        upd, o_state = opt.update(g, o_state, lat_s)
+        lat_s = optax.apply_updates(lat_s, upd)
+        aux["loss"] = loss
+        return (lat_s, o_state), aux
+
+    @jax.jit
+    def run(carry):
+        return jax.lax.scan(step, carry, jnp.arange(total))
+
+    t0 = time.time()
+    (lat_shape, _), history = run((lat_shape, opt_state))
+    history = {k: np.asarray(v) for k, v in history.items()}
+    elapsed = time.time() - t0
+    if verbose:
+        print(f"[fit_identity] {total} steps in {elapsed:.1f}s "
+              f"({total / max(elapsed, 1e-9):.1f} it/s), "
+              f"final loss {history['loss'][-1]:.6f}")
+    _, anchors = decoder_shape.apply(
+        params_shape, jnp.zeros((1, 1, 3)), lat_shape, training=False
+    )
+    history["elapsed_s"] = elapsed
+    return np.asarray(lat_shape), (
+        None if anchors is None else np.asarray(anchors)
+    ), history

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from nphm_tpu.models.deepsdf import DeepSDFConfig, apply_deepsdf, init_deepsdf
 from nphm_tpu.models.mlp import linear, torch_linear_init
+from nphm_tpu.utils.math import safe_l2norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,7 +108,7 @@ def init_deformation(key, cfg: DeformationConfig, dtype=jnp.float32):
 
 def _interp_local(q, anchors, loc_lat, var=0.1**2):
     """Per-point Gaussian blend of local identity codes (no background)."""
-    d = jnp.linalg.norm(anchors[:, None, :, :] - q[:, :, None, :], axis=-1)
+    d = safe_l2norm(anchors[:, None, :, :] - q[:, :, None, :], axis=-1)
     w = jnp.exp(-((d + 1e-5) ** 2) / var)
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-6)
     return jnp.einsum("bnk,bkc->bnc", w, loc_lat)

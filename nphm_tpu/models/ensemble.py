@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nphm_tpu.models.mlp import linear, mlp_dims, softplus_beta, torch_linear_init
+from nphm_tpu.utils.math import safe_l2norm
 
 SQRT2 = 1.4142135623730951
 
@@ -208,7 +209,7 @@ def gaussian_blend(q, anchors, member_preds, var, background_dist):
     The background member gets a constant kernel distance (reference
     EnsembledDeepSDF.py:129-150).
     """
-    d = jnp.linalg.norm(anchors[:, None, :, :] - q[:, :, None, :], axis=-1)
+    d = safe_l2norm(anchors[:, None, :, :] - q[:, :, None, :], axis=-1)
     dist = -((d + 1e-5) ** 2)  # [B, N, K]
     dist = jnp.concatenate(
         [dist, jnp.full_like(dist[..., :1], background_dist)], axis=-1
