@@ -1,0 +1,300 @@
+"""Stage-1 auto-decoder trainer (identity SDF space).
+
+Behavioral spec: reference ``src/NPHM/models/training.py`` (TrainerAutoDecoder):
+per-subject latent tables (max_norm=1, N(0, 0.1/sqrt(d)) init) optimized with
+SparseAdam, decoder with AdamW(weight_decay), global-norm grad clips, step-
+decay LRs recomputed per epoch (latent decay gated on epoch > 1000), a
+validation loop that *optimizes validation latents* with the decoder frozen,
+best-val marker files, full-state checkpoints, and periodic mesh
+reconstruction logging.
+
+TPU-first: one jitted train step (loss + double-backprop eikonal + both
+optimizer updates), donated carry state, dynamic LRs passed as scalars.  For
+multi-chip data parallelism the batch axis can be sharded over a device mesh
+(see __graft_entry__.dryrun_multichip); latent tables stay replicated and
+gradient psums ride ICI, inserted by XLA from sharding annotations.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nphm_tpu import env_paths
+from nphm_tpu.ops.grid import create_grid_points_from_bounds
+from nphm_tpu.ops.marching import mesh_from_logits
+from nphm_tpu.reconstruction.extract import make_sdf_evaluator
+from nphm_tpu.training import checkpoints as ckpt
+from nphm_tpu.training.latents import (
+    clip_global_norm,
+    renorm_rows,
+    row_adam_init,
+    row_adam_update,
+)
+from nphm_tpu.training.losses import identity_sdf_loss
+from nphm_tpu.utils.logging_utils import MetricsLogger
+
+RECON_BOX_MIN = (-0.4, -0.6, -0.7)
+RECON_BOX_MAX = (0.4, 0.6, 0.5)
+
+
+def _adamw_mask(params):
+    """Exclude non-trained buffers (mean_anchors) from weight decay."""
+
+    def mask(path, _leaf):
+        return not any(
+            getattr(p, "key", None) == "mean_anchors" for p in path
+        )
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+class IdentityTrainer:
+    def __init__(
+        self,
+        decoder,
+        params,
+        cfg: dict,
+        train_dataset,
+        val_dataset,
+        exp_name: str,
+        exp_dir: Optional[str] = None,
+        logger: Optional[MetricsLogger] = None,
+        recon_resolution: int = 256,
+        seed: int = 0,
+    ):
+        self.decoder = decoder
+        self.cfg = cfg["training"]
+        self.lambdas = dict(self.cfg["lambdas"])
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.recon_resolution = recon_resolution
+
+        self.exp_path = os.path.join(exp_dir or env_paths.EXPERIMENT_DIR, exp_name)
+        self.checkpoint_path = os.path.join(self.exp_path, "checkpoints")
+        os.makedirs(self.checkpoint_path, exist_ok=True)
+        self.logger = logger or MetricsLogger(log_dir=self.exp_path)
+
+        d = decoder.lat_dim
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        std = 0.1 / math.sqrt(d)
+        self.latents = jax.random.normal(k1, (len(train_dataset), d)) * std
+        self.latents_val = jax.random.normal(k2, (len(val_dataset), d)) * std
+        self.max_norm = 1.0
+
+        self.params = params
+        self.opt = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self.cfg["lr"],
+            weight_decay=self.cfg["weight_decay"],
+            mask=_adamw_mask(params),
+        )
+        self.opt_state = self.opt.init(params)
+        self.lat_state = row_adam_init(self.latents)
+        self.lat_state_val = row_adam_init(self.latents_val)
+        self.val_min = None
+        self.log_steps = 0
+
+        self._evaluator = None
+        self._grid_points = None
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2, 3))
+        self._val_step = jax.jit(self._val_step_impl, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------ steps
+
+    def _loss(self, params, table, batch):
+        idx = batch["idx"].reshape(-1)
+        lat = table[idx]
+        terms = identity_sdf_loss(self.decoder, params, batch, lat, training=True)
+        loss = sum(self.lambdas[k] * terms[k] for k in terms)
+        return loss, terms
+
+    def _train_step_impl(self, params, opt_state, table, lat_state, batch, lr, lr_lat):
+        idx = batch["idx"].reshape(-1)
+        if self.max_norm is not None:
+            table = renorm_rows(table, idx, self.max_norm)
+
+        (loss, terms), (g_params, g_table) = jax.value_and_grad(
+            self._loss, argnums=(0, 1), has_aux=True
+        )(params, table, batch)
+
+        if self.cfg.get("grad_clip") is not None:
+            g_params, _ = clip_global_norm(g_params, self.cfg["grad_clip"])
+        if self.cfg.get("grad_clip_lat") is not None:
+            g_table, _ = clip_global_norm(g_table, self.cfg["grad_clip_lat"])
+
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.opt.update(g_params, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        table, lat_state = row_adam_update(table, g_table, lat_state, idx, lr_lat)
+        terms = dict(terms)
+        terms["loss"] = loss
+        return params, opt_state, table, lat_state, terms
+
+    def _val_step_impl(self, table, lat_state, params, batch, lr_lat):
+        idx = batch["idx"].reshape(-1)
+        if self.max_norm is not None:
+            table = renorm_rows(table, idx, self.max_norm)
+        (loss, terms), g_table = jax.value_and_grad(
+            lambda t: self._loss(params, t, batch), has_aux=True
+        )(table)
+        if self.cfg.get("grad_clip_lat") is not None:
+            g_table, _ = clip_global_norm(g_table, self.cfg["grad_clip_lat"])
+        table, lat_state = row_adam_update(table, g_table, lat_state, idx, lr_lat)
+        terms = dict(terms)
+        terms["loss"] = loss
+        return table, lat_state, terms
+
+    # --------------------------------------------------------------- schedule
+
+    def lr_at(self, epoch: int) -> float:
+        """Decoder LR under the reference's step decay (training.py:93-99)."""
+        interval = self.cfg.get("lr_decay_interval")
+        if not interval:
+            return self.cfg["lr"]
+        return self.cfg["lr"] * self.cfg["lr_decay_factor"] ** (epoch // interval)
+
+    def lr_lat_at(self, epoch: int) -> float:
+        """Latent LR decays only after epoch 1000 (training.py:101-108)."""
+        interval = self.cfg.get("lr_decay_interval_lat")
+        if not interval or epoch <= 1000:
+            return self.cfg["lr_lat"]
+        return self.cfg["lr_lat"] * self.cfg["lr_decay_factor_lat"] ** (
+            epoch // interval
+        )
+
+    # --------------------------------------------------------------- training
+
+    def train_model(self, epochs: int):
+        start = self.load_checkpoint()
+        interval = self.cfg["ckpt_interval"]
+        for epoch in range(start, epochs):
+            t0 = time.time()
+            lr = jnp.float32(self.lr_at(epoch))
+            lr_lat = jnp.float32(self.lr_lat_at(epoch))
+
+            sums, count = {}, 0
+            for batch in self.train_dataset.batch_iter(seed=epoch):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                (
+                    self.params,
+                    self.opt_state,
+                    self.latents,
+                    self.lat_state,
+                    terms,
+                ) = self._train_step(
+                    self.params, self.opt_state, self.latents, self.lat_state,
+                    batch, lr, lr_lat,
+                )
+                count += 1
+                for k, v in terms.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+
+            if epoch % interval == 0:
+                self.save_checkpoint(epoch)
+                self.log_recs(epoch)
+
+            val = self.compute_val_loss(lr_lat)
+            if self.val_min is None or val["loss"] < self.val_min:
+                self.val_min = val["loss"]
+                ckpt.update_val_min(self.exp_path, epoch, val["loss"])
+
+            avg = {k: v / max(count, 1) for k, v in sums.items()}
+            msg = f"Epoch {epoch:5d} ({time.time()-t0:.1f}s)"
+            for k in sorted(avg):
+                msg += f" {k} {avg[k]:.4f}/{val.get(k, float('nan')):.4f}"
+            self.logger.print(msg)
+            avg.update({f"val_{k}": v for k, v in val.items()})
+            self.logger.log(avg, step=epoch)
+
+    def compute_val_loss(self, lr_lat):
+        """Optimize validation latents with the decoder frozen
+        (reference training.py:250-275)."""
+        sums, count = {}, 0
+        for batch in self.val_dataset.batch_iter(seed=0):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.latents_val, self.lat_state_val, terms = self._val_step(
+                self.latents_val, self.lat_state_val, self.params, batch, lr_lat
+            )
+            count += 1
+            for k, v in terms.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    # ------------------------------------------------------------ persistence
+
+    def _state_tree(self):
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "latents": self.latents,
+            "lat_state": self.lat_state,
+            "latents_val": self.latents_val,
+            "lat_state_val": self.lat_state_val,
+        }
+
+    def save_checkpoint(self, epoch: int):
+        ckpt.save_checkpoint(self.checkpoint_path, epoch, self._state_tree())
+
+    def load_checkpoint(self) -> int:
+        data = ckpt.load_checkpoint(
+            self.checkpoint_path, self.cfg.get("ckpt")
+        )
+        if data is None:
+            self.logger.print(f"No checkpoints found at {self.checkpoint_path}")
+            return 0
+        template = self._state_tree()
+        for key, tmpl in template.items():
+            restored = jax.tree.map(
+                lambda t, s: jnp.asarray(s, getattr(t, "dtype", None)),
+                tmpl,
+                data[key],
+            )
+            setattr(self, key, restored)
+        self.logger.print(f"Resumed from epoch {data['epoch']}")
+        return int(data["epoch"])
+
+    # ---------------------------------------------------------------- logging
+
+    def log_recs(self, epoch: int, n_recs: int = 5):
+        """Export reconstruction meshes for a few train/val latents
+        (reference training.py:282-333)."""
+        try:
+            exp_dir = os.path.join(self.exp_path, "recs", f"epoch_{epoch}")
+            os.makedirs(exp_dir, exist_ok=True)
+            if self._evaluator is None:
+                self._evaluator = make_sdf_evaluator(self.decoder)
+                self._grid_points = create_grid_points_from_bounds(
+                    RECON_BOX_MIN, RECON_BOX_MAX, self.recon_resolution
+                )
+            n = min(n_recs, len(self.val_dataset) // 2 or 1)
+            for jj in range(n):
+                step_t = (jj + n * self.log_steps) % len(self.train_dataset)
+                step_v = (jj + n * self.log_steps) % len(self.val_dataset)
+                for tag, table, step in (
+                    ("train", self.latents, step_t),
+                    ("val", self.latents_val, step_v),
+                ):
+                    logits = self._evaluator(
+                        {
+                            "params": self.params,
+                            "lat": table[step][None],
+                        },
+                        self._grid_points,
+                    )[:, 0]
+                    mesh = mesh_from_logits(
+                        logits, RECON_BOX_MIN, RECON_BOX_MAX, self.recon_resolution
+                    )
+                    mesh.export(os.path.join(exp_dir, f"{tag}_{step}.ply"))
+            self.log_steps += 1
+        except Exception as e:  # mirror the reference's defensive logging
+            self.logger.print(f"[log_recs] failed: {e}")

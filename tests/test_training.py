@@ -1,0 +1,314 @@
+"""Training engine tests: latent optimizers, losses, end-to-end auto-decoding."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nphm_tpu.data.synthetic import (
+    SyntheticDeformationDataset,
+    SyntheticIdentityDataset,
+)
+from nphm_tpu.models import (
+    DeepSDFConfig,
+    DeformationConfig,
+    make_deformation_decoder,
+    make_npm_decoder,
+)
+from nphm_tpu.training.latents import (
+    clip_global_norm,
+    renorm_rows,
+    row_adam_init,
+    row_adam_update,
+)
+from nphm_tpu.training.losses import identity_sdf_loss
+from nphm_tpu.utils.logging_utils import MetricsLogger
+
+
+# --- latent machinery vs torch ------------------------------------------------
+
+
+def test_row_adam_matches_torch_sparse_adam():
+    torch = pytest.importorskip("torch")
+    n, d = 10, 6
+    rng = np.random.default_rng(0)
+    table0 = rng.normal(size=(n, d)).astype(np.float32)
+
+    emb = torch.nn.Embedding(n, d, sparse=True)
+    with torch.no_grad():
+        emb.weight.copy_(torch.from_numpy(table0))
+    opt = torch.optim.SparseAdam(emb.parameters(), lr=0.01)
+
+    table = jnp.asarray(table0)
+    state = row_adam_init(table)
+
+    for step in range(5):
+        idx = rng.integers(0, n, size=4)
+        target = rng.normal(size=(4, d)).astype(np.float32)
+
+        # torch
+        opt.zero_grad()
+        out = emb(torch.from_numpy(idx))
+        loss = ((out - torch.from_numpy(target)) ** 2).sum()
+        loss.backward()
+        opt.step()
+
+        # ours: dense grad via autodiff through gather
+        def loss_fn(t):
+            return jnp.sum((t[jnp.asarray(idx)] - target) ** 2)
+
+        g = jax.grad(loss_fn)(table)
+        table, state = row_adam_update(table, g, state, jnp.asarray(idx), 0.01)
+
+    np.testing.assert_allclose(
+        np.asarray(table), emb.weight.detach().numpy(), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_renorm_matches_torch_max_norm():
+    torch = pytest.importorskip("torch")
+    n, d = 6, 5
+    rng = np.random.default_rng(1)
+    table0 = (rng.normal(size=(n, d)) * 2).astype(np.float32)
+    idx = np.array([0, 2, 4])
+
+    emb = torch.nn.Embedding(n, d, max_norm=1.0)
+    with torch.no_grad():
+        emb.weight.copy_(torch.from_numpy(table0))
+    _ = emb(torch.from_numpy(idx))  # access triggers in-place renorm
+
+    ours = renorm_rows(jnp.asarray(table0), jnp.asarray(idx), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(ours), emb.weight.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_clip_global_norm():
+    tree = {"a": jnp.ones((3,)) * 2.0, "b": jnp.ones((4,)) * 2.0}
+    clipped, total = clip_global_norm(tree, 1.0)
+    norm = np.sqrt(sum(np.sum(np.asarray(v) ** 2) for v in clipped.values()))
+    assert abs(norm - 1.0) < 1e-5
+    # under the threshold: untouched
+    clipped2, _ = clip_global_norm(tree, 100.0)
+    np.testing.assert_allclose(np.asarray(clipped2["a"]), 2.0)
+
+
+# --- identity loss parity vs reference ---------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src"), reason="reference unavailable"
+)
+def test_identity_loss_parity_with_reference():
+    import sys
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference/src")
+    from NPHM.models.EnsembledDeepSDF import FastEnsembleDeepSDFMirrored
+    from NPHM.models.loss_functions import actual_compute_loss
+
+    from nphm_tpu.models import NPHMConfig, init_nphm
+    from nphm_tpu.models.decoders import make_nphm_decoder
+
+    cfg = NPHMConfig(
+        lat_dim_glob=16, lat_dim_loc=8, n_loc=5, n_symm_pairs=2,
+        hidden_dim=32, n_layers=4, pos_mlp_dim=32,
+    )
+    rng = np.random.default_rng(3)
+    mean_anchors = (rng.normal(size=(cfg.n_loc, 3)) * 0.3).astype(np.float32)
+    dec = make_nphm_decoder(cfg, mean_anchors)
+    params = dec.init(jax.random.PRNGKey(0))
+
+    tm = FastEnsembleDeepSDFMirrored(
+        lat_dim_glob=cfg.lat_dim_glob, lat_dim_loc=cfg.lat_dim_loc,
+        n_loc=cfg.n_loc, n_symm_pairs=cfg.n_symm_pairs,
+        anchors=torch.from_numpy(mean_anchors)[None, None].float(),
+        hidden_dim=cfg.hidden_dim, n_layers=cfg.n_layers,
+        pos_mlp_dim=cfg.pos_mlp_dim,
+    )
+    for i in range(len(params["ensemble"])):
+        lin = getattr(tm.ensembled_deep_sdf, f"lin{i}")
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(np.asarray(params["ensemble"][i]["w"])))
+            lin.bias.copy_(torch.from_numpy(np.asarray(params["ensemble"][i]["b"])))
+    for j, seq in enumerate([0, 2, 4]):
+        with torch.no_grad():
+            tm.mlp_pos[seq].weight.copy_(
+                torch.from_numpy(np.asarray(params["mlp_pos"][j]["w"]))
+            )
+            tm.mlp_pos[seq].bias.copy_(
+                torch.from_numpy(np.asarray(params["mlp_pos"][j]["b"]))
+            )
+    tm.train()
+
+    B, nf, nn = 2, 40, 10
+    batch = {
+        "points_face": rng.normal(size=(B, nf, 3)).astype(np.float32) * 0.3,
+        "normals_face": rng.normal(size=(B, nf, 3)).astype(np.float32),
+        "points_non_face": rng.normal(size=(B, nn, 3)).astype(np.float32) * 0.3,
+        "normals_non_face": rng.normal(size=(B, nn, 3)).astype(np.float32),
+        "sup_grad_far": rng.normal(size=(B, nf // 8, 3)).astype(np.float32) * 0.4,
+        "sup_grad_near": rng.normal(size=(B, nf + nn, 3)).astype(np.float32) * 0.3,
+        "gt_anchors": rng.normal(size=(B, cfg.n_loc, 3)).astype(np.float32) * 0.3,
+    }
+    lat = (rng.normal(size=(B, cfg.lat_dim)) * 0.1).astype(np.float32)
+
+    ours = identity_sdf_loss(dec, params, {k: jnp.asarray(v) for k, v in batch.items()}, jnp.asarray(lat))
+
+    batch_t = {k: torch.from_numpy(v) for k, v in batch.items()}
+    theirs = actual_compute_loss(batch_t, tm, torch.from_numpy(lat)[:, None, :])
+
+    for k_ours, k_ref in [
+        ("surf_sdf", "surf_sdf"), ("normals", "normals"),
+        ("space_sdf", "space_sdf"), ("grad", "grad"),
+        ("lat_reg", "lat_reg"), ("anchors", "anchors"),
+        ("symm_dist", "symm_dist"), ("middle_dist", "middle_dist"),
+    ]:
+        np.testing.assert_allclose(
+            float(ours[k_ours]), float(theirs[k_ref]), rtol=2e-3, atol=1e-5,
+            err_msg=f"loss term {k_ours}",
+        )
+
+
+# --- end-to-end auto-decoder training on synthetic geometry -------------------
+
+
+def _npm_decoder_small():
+    return make_npm_decoder(
+        DeepSDFConfig(lat_dim=16, hidden_dim=64, n_layers=4, geometric_init=True,
+                      radius_init=0.5)
+    )
+
+
+def _train_cfg(epochs_interval=50):
+    return {
+        "training": {
+            "batch_size": 4,
+            "ckpt_interval": 10**9,  # no mid-test checkpoints
+            "grad_clip": 0.1,
+            "grad_clip_lat": 0.1,
+            "lr": 0.0015,
+            "lr_lat": 0.003,
+            "lr_decay_factor": 0.5,
+            "lr_decay_factor_lat": 0.5,
+            "lr_decay_interval": 120,
+            "lr_decay_interval_lat": 120,
+            "npoints_decoder": 250,
+            "npoints_decoder_non": 250,
+            "sigma_near": 0.01,
+            "weight_decay": 0.01,
+            "lambdas": {
+                "lat_reg": 0.01,
+                "surf_sdf": 2.0,
+                "normals": 0.3,
+                "space_sdf": 0.01,
+                "grad": 0.1,
+            },
+        }
+    }
+
+
+def test_identity_trainer_learns_spheres(tmp_path):
+    from nphm_tpu.training.trainer import IdentityTrainer
+
+    train_ds = SyntheticIdentityDataset(n_subjects=6, batch_size=3, seed=0)
+    val_ds = SyntheticIdentityDataset(n_subjects=2, batch_size=2, seed=5)
+    dec = _npm_decoder_small()
+    params = dec.init(jax.random.PRNGKey(0))
+
+    tr = IdentityTrainer(
+        dec, params, _train_cfg(), train_ds, val_ds, "test_exp",
+        exp_dir=str(tmp_path), logger=MetricsLogger(quiet=True),
+    )
+    tr.train_model(120)
+
+    # quality: SDF at surface points of a train subject should be ~0
+    item = train_ds._load_item(0, np.random.default_rng(99))
+    lat = tr.latents[0][None]
+    sdf, _ = dec.apply(tr.params, jnp.asarray(item["points_face"])[None], lat)
+    err = float(jnp.abs(sdf).mean())
+    assert err < 0.02, f"mean |sdf| at surface = {err}"
+    # eikonal property should roughly hold near the surface
+    from nphm_tpu.models.fields import spatial_gradient
+
+    g = spatial_gradient(
+        lambda x: dec.apply(tr.params, x, lat)[0],
+        jnp.asarray(item["points_face"])[None],
+    )
+    gn = float(jnp.abs(jnp.linalg.norm(g, axis=-1) - 1).mean())
+    assert gn < 0.25, f"eikonal residual {gn}"
+
+
+def test_identity_trainer_checkpoint_resume(tmp_path):
+    from nphm_tpu.training.trainer import IdentityTrainer
+
+    train_ds = SyntheticIdentityDataset(n_subjects=4, batch_size=2, seed=0)
+    val_ds = SyntheticIdentityDataset(n_subjects=2, batch_size=2, seed=5)
+    dec = _npm_decoder_small()
+    params = dec.init(jax.random.PRNGKey(0))
+    cfg = _train_cfg()
+    cfg["training"]["ckpt_interval"] = 5
+
+    tr = IdentityTrainer(dec, params, cfg, train_ds, val_ds, "ck",
+                         exp_dir=str(tmp_path), logger=MetricsLogger(quiet=True))
+    tr.train_model(6)
+
+    tr2 = IdentityTrainer(dec, dec.init(jax.random.PRNGKey(7)), cfg, train_ds,
+                          val_ds, "ck", exp_dir=str(tmp_path),
+                          logger=MetricsLogger(quiet=True))
+    start = tr2.load_checkpoint()
+    assert start == 5
+    np.testing.assert_allclose(
+        np.asarray(tr2.latents), np.asarray(tr.latents), atol=2e-2
+    )
+    l1 = jax.tree_util.tree_leaves(tr.params)
+    l2 = jax.tree_util.tree_leaves(tr2.params)
+    # params equal to the *epoch-5* checkpoint, i.e. close to final but not
+    # necessarily identical; just check structure + finiteness here
+    assert len(l1) == len(l2)
+    assert all(np.isfinite(np.asarray(x)).all() for x in l2)
+
+
+def test_deformation_trainer_learns_warps(tmp_path):
+    from nphm_tpu.training.trainer_corresp import DeformationTrainer
+
+    ident = SyntheticIdentityDataset(n_subjects=4, batch_size=2, seed=0)
+    train_ds = SyntheticDeformationDataset(ident, n_expressions=2, batch_size=4)
+    val_ds = SyntheticDeformationDataset(ident, n_expressions=1, batch_size=4, seed=9)
+
+    dcfg = DeformationConfig(
+        mode="expr_only", lat_dim_expr=8, hidden_dim=64, n_layers=4,
+    )
+    dec = make_deformation_decoder(dcfg)
+    params = dec.init(jax.random.PRNGKey(0))
+
+    shape_state = {
+        "params": {},
+        "latents": np.zeros((4, 4), np.float32),
+        "latents_val": np.zeros((4, 4), np.float32),
+    }
+    cfg = {
+        "training": {
+            "batch_size": 4, "ckpt_interval": 10**9,
+            "grad_clip": 0.025, "grad_clip_lat": 0.025,
+            "lambdas": {"corresp": 100.0, "lat_reg": 5e-5, "loss_reg_zero": 5e-5},
+            "lr": 0.001, "lr_lat": 0.005,
+            "lr_decay_factor": 0.5, "lr_decay_factor_lat": 0.5,
+            "lr_decay_interval": 100, "lr_decay_interval_lat": 100,
+            "weight_decay": 0.0005,
+        }
+    }
+    tr = DeformationTrainer(
+        dec, params, None, cfg, train_ds, val_ds, "def_exp",
+        exp_dir=str(tmp_path), shape_state=shape_state,
+        logger=MetricsLogger(quiet=True),
+    )
+    history = []
+    orig_log = tr.logger.log
+    tr.logger.log = lambda m, step=None: history.append(m)
+    tr.train_model(60)
+
+    first, last = history[0]["corresp"], history[-1]["corresp"]
+    assert last < first * 0.15, f"corresp {first} -> {last}"
