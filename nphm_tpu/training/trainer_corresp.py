@@ -226,7 +226,7 @@ class DeformationTrainer:
                 self.log_recs(epoch)
 
             val = self.compute_val_loss(lr_lat)
-            if self.val_min is None or val["loss"] < self.val_min:
+            if "loss" in val and (self.val_min is None or val["loss"] < self.val_min):
                 self.val_min = val["loss"]
                 ckpt.update_val_min(self.exp_path, epoch, val["loss"])
 

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Inference entry point: random head sampling and point-cloud fitting.
+
+CLI-compatible with reference scripts/fitting/fitting_pointclouds.py:
+  # sample 100 random heads from the latent prior
+  python scripts/fitting/fitting_pointclouds.py -cfg_file configs/fitting_nphm.yaml \
+      -exp_name EXP -exp_tag TAG -sample
+  # fit test-set single-view point clouds (or -demo for the dummy data)
+  python scripts/fitting/fitting_pointclouds.py -cfg_file configs/fitting_nphm.yaml \
+      -exp_name EXP -exp_tag TAG [-demo]
+"""
+
+import argparse
+import os
+
+import jax
+import numpy as np
+import yaml
+
+from nphm_tpu import env_paths
+from nphm_tpu.config import (
+    build_expression_decoder,
+    build_identity_decoder,
+    load_yaml,
+    print_cfg,
+)
+from nphm_tpu.data.manager import DataManager
+from nphm_tpu.fitting import FittingConfig, fit_joint
+from nphm_tpu.ops.grid import create_grid_points_from_bounds
+from nphm_tpu.ops.marching import mesh_from_logits
+from nphm_tpu.reconstruction.extract import (
+    deform_mesh,
+    make_deform_evaluator,
+    make_sdf_evaluator,
+)
+from nphm_tpu.training import checkpoints as ckpt
+
+GRID_MIN = (-0.55, -0.5, -0.95)
+GRID_MAX = (0.55, 0.75, 0.4)
+
+
+def load_experiment(exp_name: str, checkpoint_epoch, local: bool, kind: str):
+    """Rebuild a decoder + trained params from an experiment snapshot."""
+    weight_dir = os.path.join(env_paths.EXPERIMENT_DIR, exp_name)
+    cfg = load_yaml(os.path.join(weight_dir, "configs.yaml"))
+    print_cfg(cfg, f"{kind} model configs ({exp_name})")
+    data = ckpt.load_checkpoint(
+        os.path.join(weight_dir, "checkpoints"), checkpoint_epoch
+    )
+    if data is None:
+        raise FileNotFoundError(f"no checkpoint in {weight_dir}/checkpoints")
+    if kind == "shape":
+        decoder = build_identity_decoder(cfg["decoder"], local=local)
+    else:
+        decoder = build_expression_decoder(cfg, cfg["ex_decoder"].get("mode", "compress"))
+    params = jax.tree.map(lambda x: x, data["params"])
+    return decoder, params, data, cfg
+
+
+def sample_shape_space(args, CFG, decoder_shape, params_shape):
+    local = CFG["local_shape"]
+    out_dir = (
+        "nphm_shape_space_samples_085" if local else "npm_shape_space_samples_085"
+    )
+    print(f"Saving random samples in {out_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    prefix = "nphm" if local else "npm"
+    lat_mean = np.load(os.path.join(env_paths.ASSETS, f"{prefix}_lat_mean.npy"))
+    lat_std = np.load(os.path.join(env_paths.ASSETS, f"{prefix}_lat_std.npy"))
+
+    grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, args.resolution)
+    evaluator = make_sdf_evaluator(decoder_shape, chunk_size=args.batch_points)
+    rng = np.random.default_rng(args.seed)
+    for step in range(args.n_samples):
+        lat = (rng.normal(size=lat_mean.shape) * lat_std * 0.85 + lat_mean).astype(
+            np.float32
+        )[None]
+        logits = evaluator({"params": params_shape, "lat": lat}, grid_points)[:, 0]
+        mesh = mesh_from_logits(logits, GRID_MIN, GRID_MAX, args.resolution)
+        mesh.export(os.path.join(out_dir, f"mesh_{step:04d}.ply"))
+        np.save(os.path.join(out_dir, f"lat_{step:04d}.npy"), lat)
+        print(f"sample {step}: {len(mesh.vertices)} verts")
+
+
+def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
+                    params_expr, out_dir):
+    manager = DataManager(
+        dummy_path=env_paths.DUMMY_DATA if args.demo else None
+    )
+    subjects = [351, 365] if args.demo else env_paths.subjects_test
+
+    grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, args.resolution)
+    sdf_eval = make_sdf_evaluator(decoder_shape, chunk_size=args.batch_points)
+    def_eval = make_deform_evaluator(decoder_expr)
+
+    print("############ Starting Fitting ############")
+    for subj in subjects:
+        print(f"Fitting subject {subj}")
+        inds = manager.get_expressions(subj, testing=True)
+        print(f"Expression indices: {inds}")
+        all_obs = [
+            manager.get_single_view_obs(subj, expr_ind, include_back=(k == 0))
+            for k, expr_ind in enumerate(inds)
+        ]
+
+        fcfg = FittingConfig(
+            n_steps=args.n_steps, step_scale=args.step_scale, seed=args.seed
+        )
+        lat_expr, lat_shape, anchors, _hist = fit_joint(
+            decoder_shape, params_shape, decoder_expr, params_expr, all_obs,
+            cfg=fcfg,
+        )
+
+        logits = sdf_eval({"params": params_shape, "lat": lat_shape}, grid_points)[:, 0]
+        mesh_can = mesh_from_logits(logits, GRID_MIN, GRID_MAX, args.resolution)
+        for i, expr_ind in enumerate(inds):
+            mesh = deform_mesh(
+                mesh_can, decoder_expr, params_expr, lat_expr[i][None],
+                anchors=anchors, lat_shape=lat_shape, evaluator=def_eval,
+            )
+            mesh.export(os.path.join(out_dir, f"{subj}_{expr_ind}.ply"))
+            np.save(os.path.join(out_dir, f"{subj}_{expr_ind}_lat_shape.npy"), lat_shape)
+            np.save(
+                os.path.join(out_dir, f"{subj}_{expr_ind}_lat_expr.npy"),
+                lat_expr[i][None],
+            )
+        print(f"exported {len(inds)} expressions for subject {subj}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Run generation")
+    parser.add_argument("-resolution", default=256, type=int)
+    parser.add_argument("-batch_points", default=65536, type=int)
+    parser.add_argument("-cfg_file", type=str, required=True)
+    parser.add_argument("-exp_name", type=str, required=True)
+    parser.add_argument("-exp_tag", type=str, required=True)
+    parser.add_argument("-demo", action="store_true")
+    parser.add_argument("-sample", action="store_true")
+    parser.add_argument("-n_samples", type=int, default=100)
+    parser.add_argument("-n_steps", type=int, default=1000)
+    parser.add_argument("-step_scale", type=float, default=1.0)
+    parser.add_argument("-seed", type=int, default=0)
+    args, _ = parser.parse_known_args()
+
+    CFG = load_yaml(args.cfg_file)
+    print_cfg(CFG)
+
+    decoder_shape, params_shape, _, _ = load_experiment(
+        CFG["exp_name_shape"], CFG["checkpoint_shape"], CFG["local_shape"], "shape"
+    )
+    decoder_expr = params_expr = None
+    if CFG.get("exp_name_expr"):
+        decoder_expr, params_expr, _, _ = load_experiment(
+            CFG["exp_name_expr"], CFG["checkpoint_expr"], CFG["local_shape"], "expr"
+        )
+
+    out_dir = os.path.join(
+        env_paths.FITTING_DIR, f"forward_{args.exp_name}", args.exp_tag
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "configs.yaml"), "w") as f:
+        yaml.safe_dump(CFG, f, default_flow_style=False)
+
+    if args.sample:
+        sample_shape_space(args, CFG, decoder_shape, params_shape)
+    else:
+        fit_pointclouds(
+            args, CFG, decoder_shape, params_shape, decoder_expr, params_expr,
+            out_dir,
+        )
+
+
+if __name__ == "__main__":
+    main()
