@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line with the primary metric.
+
+Primary metric: dense SDF queries/sec/chip on the NPHM flagship model
+(the 39-anchor local-MLP ensemble, full production dims) evaluated over a
+res-256 extraction grid — hot loop #2 of SURVEY.md section 3 and the first
+driver metric in BASELINE.json.
+
+The reference publishes no throughput numbers; the baseline convention here
+derives from the driver's north star ("res-256 extraction + full point-cloud
+fit < 30 s on one v5e chip"): a reference rate of 16.7M queries / 30 s
+= 0.557M q/s.  vs_baseline = measured rate / 0.557M.
+
+Extra fields (same line): res-256 extraction wall time including marching
+cubes, and fitting iterations/sec when BENCH_FULL=1.
+
+NOTE: timings force a device->host transfer per measurement because
+block_until_ready does not reliably synchronize through the axon relay.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from nphm_tpu.models import NPHMConfig, make_nphm_decoder
+from nphm_tpu.ops.grid import create_grid_points_from_bounds
+from nphm_tpu.ops.marching import mesh_from_logits
+from nphm_tpu.reconstruction.extract import make_sdf_evaluator
+
+RES = 256
+GRID_MIN = (-0.55, -0.5, -0.95)
+GRID_MAX = (0.55, 0.75, 0.4)
+BASELINE_QPS = 16.7e6 / 30.0  # north-star implied rate
+
+
+def _mean_anchors():
+    for path in (
+        os.path.join(os.environ.get("NPHM_ASSETS", ""), "anchors_39.npy"),
+        "/root/reference/assets/anchors_39.npy",
+    ):
+        if path and os.path.exists(path):
+            return np.load(path).astype(np.float32)
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(39, 3))
+    return (0.4 * d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def main():
+    cfg = NPHMConfig()
+    decoder = make_nphm_decoder(cfg, _mean_anchors())
+    params = decoder.init(jax.random.PRNGKey(0))
+    lat = (jax.random.normal(jax.random.PRNGKey(1), (1, cfg.lat_dim)) * 0.1)
+
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
+    evaluator = make_sdf_evaluator(decoder, chunk_size=chunk)
+    grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, RES)
+    n_queries = grid_points.shape[0]
+
+    # warm up / compile
+    logits = evaluator({"params": params, "lat": lat}, grid_points)
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        logits = evaluator({"params": params, "lat": lat}, grid_points)
+        times.append(time.perf_counter() - t0)
+    t_eval = min(times)
+    qps = n_queries / t_eval
+
+    t0 = time.perf_counter()
+    mesh = mesh_from_logits(logits[:, 0], GRID_MIN, GRID_MAX, RES)
+    t_mc = time.perf_counter() - t0
+
+    extra = {
+        "res256_eval_s": round(t_eval, 3),
+        "res256_mc_s": round(t_mc, 3),
+        "res256_total_s": round(t_eval + t_mc, 3),
+        "mesh_verts": int(len(mesh.vertices)),
+        "chunk": chunk,
+    }
+
+    if os.environ.get("BENCH_FULL") == "1":
+        from nphm_tpu.fitting import FittingConfig, fit_joint
+        from nphm_tpu.models import DeformationConfig, make_deformation_decoder
+
+        dcfg = DeformationConfig()
+        expr = make_deformation_decoder(dcfg)
+        p_expr = expr.init(jax.random.PRNGKey(2))
+        rng = np.random.default_rng(0)
+        obs = [rng.normal(size=(2500, 3)).astype(np.float32) * 0.3 for _ in range(20)]
+        fc = FittingConfig(n_steps=50, log_every=1000)
+        fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)  # compile
+        fc = FittingConfig(n_steps=100, log_every=1000)
+        t0 = time.perf_counter()
+        _, _, _, hist = fit_joint(
+            decoder, params, expr, p_expr, obs, cfg=fc, verbose=False
+        )
+        extra["fit_iters_per_s"] = round(100 / (time.perf_counter() - t0), 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "nphm_sdf_queries_per_sec_per_chip",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / BASELINE_QPS, 3),
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,8 @@ def latent_pair_consistency(decoder, lat):
     loc_symm = lat[:, g : g + 2 * n_symm * l].reshape(B, 2 * n_symm, l)
     symm_dist = jnp.mean(safe_l2norm(loc_symm[:, ::2] - loc_symm[:, 1::2]))
     loc_middle = lat[:, g + 2 * n_symm * l : -l].reshape(B, n_kps - 2 * n_symm, l)
+    if loc_middle.shape[1] < 2:  # no middle pairs to compare
+        return symm_dist, jnp.zeros(())
     if loc_middle.shape[1] % 2 == 0:
         middle = safe_l2norm(loc_middle[:, ::2] - loc_middle[:, 1::2])
     else:
