@@ -112,8 +112,10 @@ def test_identity_loss_parity_with_reference():
     from nphm_tpu.models import NPHMConfig, init_nphm
     from nphm_tpu.models.decoders import make_nphm_decoder
 
+    # n_loc - 2*n_symm_pairs = 2 middle anchors -> middle_dist is a real value
+    # (with <2 middle anchors the reference's mean-of-empty is NaN; we return 0)
     cfg = NPHMConfig(
-        lat_dim_glob=16, lat_dim_loc=8, n_loc=5, n_symm_pairs=2,
+        lat_dim_glob=16, lat_dim_loc=8, n_loc=6, n_symm_pairs=2,
         hidden_dim=32, n_layers=4, pos_mlp_dim=32,
     )
     rng = np.random.default_rng(3)
