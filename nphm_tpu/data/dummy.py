@@ -64,20 +64,40 @@ def generate_dummy_data(
     np.save(os.path.join(assets, "anchors_39.npy"), (anchor_dirs * 0.4))
     np.save(os.path.join(assets, "lm_inds_39.npy"), np.arange(39))
 
+    # evaluation assets: a template mesh and a face-region submesh whose
+    # vertices exactly match a subset of the template's (the eval script
+    # recovers the face indices from those exact matches).  All flame/
+    # registration meshes below share this template's topology, like the
+    # real dataset's registrations share the upsampled-FLAME topology.
+    template = _ellipsoid_mesh(np.array([0.42, 0.42, 0.42]), np.zeros(3))
+    write_ply(os.path.join(assets, "template.ply"), template.vertices, template.faces)
+    face_sub = template.submesh_by_vertex_mask(template.vertices[:, 2] > 0.0)
+    write_ply(
+        os.path.join(assets, "better_face_region.ply"),
+        face_sub.vertices, face_sub.faces,
+    )
+
     for s in subjects:
         radii = rng.uniform(0.35, 0.5, size=3)
         center = rng.uniform(-0.03, 0.03, size=3)
         neutral_mesh = _ellipsoid_mesh(radii, center)
+        # registration/flame in shared template topology: template scaled to
+        # the subject's ellipsoid
+        reg_neutral = Mesh(
+            (template.vertices / 0.42 * radii + center).astype(np.float32),
+            template.faces,
+        )
 
         for e in range(n_expressions):
             scan_dir = os.path.join(root, "dataset", f"{s:03d}", f"{e:03d}")
             os.makedirs(scan_dir, exist_ok=True)
             t = rng.normal(size=3) * (0.0 if e == 0 else 0.04)
             mesh = Mesh(neutral_mesh.vertices + t, neutral_mesh.faces)
-            for name in ("scan.ply", "flame.ply", "registration.ply"):
-                write_ply(
-                    os.path.join(scan_dir, name), mesh.vertices, mesh.faces
-                )
+            reg = Mesh((reg_neutral.vertices + t).astype(np.float32),
+                       reg_neutral.faces)
+            write_ply(os.path.join(scan_dir, "scan.ply"), mesh.vertices, mesh.faces)
+            for name in ("flame.ply", "registration.ply"):
+                write_ply(os.path.join(scan_dir, name), reg.vertices, reg.faces)
             np.save(os.path.join(scan_dir, "s.npy"), np.float64(1.0 / 25.0))
             np.save(os.path.join(scan_dir, "R.npy"), np.eye(3))
             np.save(os.path.join(scan_dir, "t.npy"), np.zeros(3))

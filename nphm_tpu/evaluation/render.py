@@ -1,0 +1,136 @@
+"""Render-based surface sampling for evaluation and observation generation.
+
+Behavioral spec: reference ``src/NPHM/evaluation/render_utils.py``:
+- ``fibonacci_sphere`` camera distribution (:150-166),
+- ``look_at`` camera poses (m3dLookAt, :134-147),
+- ``gen_render_samples`` (:169-201): render a mesh from N views, back-project
+  visible pixels to world-space points+normals, remove back-facing samples —
+  the "fair" sampler behind Chamfer/F-score evaluation.
+
+The GL renderer + GLSL normal shader + unprojection are replaced by a native
+C++ z-buffer rasterizer (csrc/rasterizer.cpp) that returns world-space points
+and face normals per pixel directly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+
+import numpy as np
+
+from nphm_tpu.ops.native import get_lib
+from nphm_tpu.utils.mesh_io import Mesh
+
+# reference camera intrinsics for eval sampling (render_utils.py:8-11)
+KK = np.array(
+    [[2440.0, 0.0, 480.0], [0.0, 2440.0, 640.0], [0.0, 0.0, 1.0]], np.float32
+)
+
+
+def fibonacci_sphere(samples: int = 1000):
+    points = []
+    phi = math.pi * (math.sqrt(5.0) - 1.0)
+    for i in range(samples):
+        y = 1 - (i / float(samples - 1)) * 2
+        radius = math.sqrt(1 - y * y)
+        theta = phi * i
+        points.append((math.cos(theta) * radius, y, math.sin(theta) * radius))
+    return points
+
+
+def look_at(eye, target, up):
+    """OpenGL-style camera-to-world pose (camera looks along local -z)."""
+    eye = np.asarray(eye, np.float64)
+    mz = eye - np.asarray(target, np.float64)
+    mz = mz / np.linalg.norm(mz)
+    mx = np.cross(np.asarray(up, np.float64), mz)
+    mx = mx / np.linalg.norm(mx)
+    my = np.cross(mz, mx)
+    my = my / np.linalg.norm(my)
+    out = np.eye(4)
+    out[:3, 0] = mx
+    out[:3, 1] = my
+    out[:3, 2] = mz
+    out[:3, 3] = eye
+    return out
+
+
+def rasterize(
+    mesh: Mesh,
+    K: np.ndarray,
+    Rt: np.ndarray,
+    rend_size=(1280, 960),
+    znear: float = 0.1,
+    zfar: float = 2.0,
+):
+    """Render depth/points/normals from a pinhole camera.
+
+    rend_size: (height, width).  Returns dict with 'depth' [h,w] (view depth,
+    inf at misses), 'points' [h,w,3] world, 'normals' [h,w,3] world face
+    normals, 'mask' [h,w] bool.
+    """
+    h, w = int(rend_size[0]), int(rend_size[1])
+    verts = np.ascontiguousarray(mesh.vertices, np.float32)
+    faces = np.ascontiguousarray(mesh.faces, np.int32)
+    K = np.ascontiguousarray(K, np.float32)
+    Rt = np.ascontiguousarray(Rt, np.float32)
+
+    depth = np.empty((h, w), np.float32)
+    points = np.empty((h, w, 3), np.float32)
+    normals = np.empty((h, w, 3), np.float32)
+    mask = np.empty((h, w), np.uint8)
+
+    lib = get_lib()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.nphm_rasterize(
+        verts.ctypes.data_as(f32p), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
+        K.ctypes.data_as(f32p), Rt.ctypes.data_as(f32p),
+        h, w, ctypes.c_float(znear), ctypes.c_float(zfar),
+        depth.ctypes.data_as(f32p), points.ctypes.data_as(f32p),
+        normals.ctypes.data_as(f32p),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"rasterize failed with code {rc}")
+    return {
+        "depth": depth,
+        "points": points,
+        "normals": normals,
+        "mask": mask.astype(bool),
+    }
+
+
+def render_view_points(
+    mesh: Mesh, K, Rt, rend_size=(1280, 960), znear=0.1, zfar=2.0
+):
+    """Visible world-space surface samples + normals for one view."""
+    out = rasterize(mesh, K, Rt, rend_size, znear, zfar)
+    m = out["mask"].reshape(-1)
+    return out["points"].reshape(-1, 3)[m], out["normals"].reshape(-1, 3)[m]
+
+
+def gen_render_samples(mesh: Mesh, n_views: int, scale: float = 4.0):
+    """Multi-view visible-surface sampling with backface removal
+    (reference render_utils.py:169-201)."""
+    m = Mesh(mesh.vertices / scale, mesh.faces)
+    cams = fibonacci_sphere(n_views + 2)[1:-1]
+    cams.reverse()
+    all_points, all_normals = [], []
+    for cam_origin in cams:
+        eye = np.asarray(cam_origin) * 0.6
+        E = look_at(eye, np.zeros(3), np.array([0, 1, 0]))
+        pts, normals = render_view_points(m, KK, E, rend_size=(1280, 960))
+        ray_dir = pts - eye
+        ray_dir /= np.maximum(
+            np.linalg.norm(ray_dir, axis=-1, keepdims=True), 1e-20
+        )
+        angle = np.sum(ray_dir * normals, axis=-1)
+        keep = angle < -0.01
+        all_points.append(pts[keep])
+        all_normals.append(normals[keep])
+    return (
+        np.concatenate(all_points, axis=0) * scale,
+        np.concatenate(all_normals, axis=0),
+    )

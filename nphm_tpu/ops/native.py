@@ -77,5 +77,17 @@ def get_lib() -> ctypes.CDLL:
         lib.nphm_free.restype = None
         lib.nphm_free.argtypes = [ctypes.c_void_p]
 
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.nphm_rasterize.restype = ctypes.c_int
+        lib.nphm_rasterize.argtypes = [
+            f32p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            f32p, f32p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            f32p, f32p, f32p,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+
         _LIB = lib
         return _LIB

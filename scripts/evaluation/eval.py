@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Evaluation entry point.
+
+CLI-compatible with reference scripts/evaluation/eval.py:
+  python scripts/evaluation/eval.py --result_dir /path/to/fitting/outputs
+
+Per (test subject, valid expression): render-sample 250k visible-surface
+points on the GT raw scan and on the predicted mesh (10 fibonacci views),
+slice below the chin plane, split a face region by proximity to the FLAME
+face vertices, cache the samples, and write metrics.json / metrics_face.json
+with Chamfer / normal-consistency / F-score in metric millimeters.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+from scipy.spatial import cKDTree as KDTree
+
+from nphm_tpu import env_paths
+from nphm_tpu.data.manager import DataManager
+from nphm_tpu.evaluation.metrics import eval_pointcloud
+from nphm_tpu.evaluation.render import gen_render_samples
+from nphm_tpu.utils.mesh_io import load_mesh
+
+NUM_SAMPS = 250000
+# chin-plane spanning vertices of the FLAME template (eval.py:31-33)
+CHIN_PLANE = (3276, 3207, 3310)
+
+
+def slice_properly(regi, surf_points, extra=None, margin=0.003):
+    """Drop points below the chin plane (reference eval.py:30-55)."""
+    v1, v2, v3 = (regi.vertices[i, :].copy() for i in CHIN_PLANE)
+    normal = np.cross(v2 - v1, v3 - v1)
+    above = np.sum(normal * (surf_points - v1), axis=-1) > margin
+    if extra is not None:
+        extra = extra[above]
+    return surf_points[above], extra
+
+
+def sample_surface_points(mesh, mesh_flame, face_idx, num_samps, rng):
+    samps, samps_normals = gen_render_samples(mesh, 10)
+    samps, samps_normals = slice_properly(mesh_flame, samps, samps_normals)
+
+    threshold_p2plane = 0.02
+    threshold_p2point = 0.04
+    face_verts = np.asarray(mesh_flame.vertices[face_idx, :])
+    kdtree = KDTree(face_verts)
+    dist, nn_idx = kdtree.query(samps)
+    nn_vertices = face_verts[nn_idx, :]
+    nn_normals = mesh_flame.vertex_normals[face_idx, :][nn_idx, :]
+    p2plane = np.abs(np.sum((samps - nn_vertices) * nn_normals, axis=-1))
+    valids = (p2plane <= threshold_p2plane) & (dist <= threshold_p2point)
+
+    samps_face = samps[valids, :]
+    samps_normals_face = samps_normals[valids, :]
+
+    ri = rng.integers(0, samps.shape[0], num_samps)
+    rif = rng.integers(0, max(samps_face.shape[0], 1), num_samps)
+    return (
+        samps[ri, :], samps_normals[ri, :],
+        samps_face[rif, :], samps_normals_face[rif, :],
+    )
+
+
+def face_region_indices():
+    """Template vertices belonging to the face region: exact matches between
+    the full template and the face-region template (reference eval.py:100-105)."""
+    m_base = load_mesh(os.path.join(env_paths.ASSETS, "template.ply"))
+    face_region = load_mesh(
+        os.path.join(env_paths.ASSETS, "better_face_region.ply")
+    )
+    kdtree = KDTree(face_region.vertices)
+    dist, _ = kdtree.query(m_base.vertices)
+    return np.where(dist == 0)[0]
+
+
+def _cached_samples(out_dir, mesh, m_flame, face_idx, num_samps, rng, resample):
+    names = ("points.npy", "normals.npy", "points_face.npy", "normals_face.npy")
+    paths = [os.path.join(out_dir, n) for n in names]
+    if all(os.path.exists(p) for p in paths) and not resample:
+        return tuple(np.load(p) for p in paths)
+    out = sample_surface_points(mesh, m_flame, face_idx, num_samps, rng)
+    os.makedirs(out_dir, exist_ok=True)
+    for p, arr in zip(paths, out):
+        np.save(p, arr)
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--result_dir", required=True, type=str)
+    parser.add_argument("--num_samps", type=int, default=NUM_SAMPS)
+    parser.add_argument("--resample", action="store_true")
+    parser.add_argument("--subjects", type=int, nargs="*", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    manager = DataManager()
+    face_idx = face_region_indices()
+    rng = np.random.default_rng(args.seed)
+
+    eval_dir = os.path.join(args.result_dir, "evaluation")
+    os.makedirs(eval_dir, exist_ok=True)
+
+    subjects = args.subjects or env_paths.subjects_test
+    for subject in subjects:
+        expressions = manager.get_expressions(subject, testing=True)
+        for expression in sorted(expressions):
+            fine = os.path.join(
+                args.result_dir, f"{subject}_{expression}_fine.ply"
+            )
+            pred_path = (
+                fine
+                if os.path.exists(fine)
+                else os.path.join(args.result_dir, f"{subject}_{expression}.ply")
+            )
+            if not os.path.exists(pred_path):
+                print(f"missing prediction {pred_path}; skipping")
+                continue
+
+            out_dir_gt = os.path.join(
+                env_paths.FITTING_DIR, "GT", str(subject),
+                f"expression_{expression}",
+            )
+            out_dir = os.path.join(
+                eval_dir, str(subject), f"expression_{expression}"
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            if os.path.exists(os.path.join(out_dir, "metrics.json")):
+                print("SKIPPING", subject, expression)
+                continue
+            print("PROCESSING", subject, expression)
+
+            m_gt = manager.get_raw_mesh(subject, expression, "nphm")
+            m_flame = manager.get_flame_mesh(subject, expression, "nphm")
+            m_pred = load_mesh(pred_path)
+
+            gt = _cached_samples(
+                out_dir_gt, m_gt, m_flame, face_idx, args.num_samps, rng,
+                args.resample,
+            )
+            pred = _cached_samples(
+                out_dir, m_pred, m_flame, face_idx, args.num_samps, rng,
+                args.resample,
+            )
+
+            metrics = eval_pointcloud(
+                pred[0], gt[0], pred[1], gt[1],
+                metric_space=True, subject=subject, expression=expression,
+            )
+            with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+                f.write(json.dumps(metrics, indent=4))
+
+            metrics_face = eval_pointcloud(
+                pred[2], gt[2], pred[3], gt[3],
+                metric_space=True, subject=subject, expression=expression,
+            )
+            with open(os.path.join(out_dir, "metrics_face.json"), "w") as f:
+                f.write(json.dumps(metrics_face, indent=4))
+            print(
+                f"  chamfer_l1={metrics['chamfer_l1']:.3f}mm "
+                f"(face {metrics_face['chamfer_l1']:.3f}mm)"
+            )
+
+
+if __name__ == "__main__":
+    main()
