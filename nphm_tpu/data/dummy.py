@@ -76,6 +76,17 @@ def generate_dummy_data(
         os.path.join(assets, "better_face_region.ply"),
         face_sub.vertices, face_sub.faces,
     )
+    # face.npy: boolean face-region mask over registration-topology vertices
+    np.save(os.path.join(assets, "face.npy"), template.vertices[:, 2] > 0.0)
+    write_ply(
+        os.path.join(assets, "template_face_up.ply"),
+        template.vertices, template.faces,
+        colors=np.where(
+            (template.vertices[:, 2] > 0.0)[:, None],
+            np.array([[255, 0, 0, 255]], np.uint8),
+            np.array([[0, 0, 0, 255]], np.uint8),
+        ),
+    )
 
     for s in subjects:
         radii = rng.uniform(0.35, 0.5, size=3)
