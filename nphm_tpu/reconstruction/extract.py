@@ -202,6 +202,43 @@ def deform_mesh(
     return TriMesh(mesh.vertices + delta, mesh.faces.copy())
 
 
+def _pallas_available(decoder) -> bool:
+    return (
+        getattr(decoder, "kind", None) == "nphm"
+        and jax.default_backend() == "tpu"
+    )
+
+
+def pallas_grid_logits(
+    decoder,
+    params,
+    encoding,
+    mini,
+    maxi,
+    resolution: int,
+    **kernel_kw,
+) -> np.ndarray:
+    """Dense-grid logits via the fused Pallas ensemble kernel.
+
+    Grid points are generated on device in spatially compact brick order
+    (member culling) and returned in the natural x-major order; only the
+    final [res^3] logits cross the host boundary.
+    """
+    from nphm_tpu.ops.pallas_ensemble import nphm_grid_sdf_pallas
+
+    lat = _as_lat(encoding)[0]
+    out = nphm_grid_sdf_pallas(
+        params,
+        decoder.cfg,
+        lat,
+        tuple(float(x) for x in mini),
+        tuple(float(x) for x in maxi),
+        int(resolution),
+        **kernel_kw,
+    )
+    return np.asarray(out)
+
+
 def extract_mesh(
     decoder,
     params,
@@ -212,10 +249,25 @@ def extract_mesh(
     chunk_size: int = DEFAULT_CHUNK,
     mesh=None,
     evaluator=None,
+    use_pallas: Optional[bool] = None,
 ) -> TriMesh:
-    """Grid-evaluate + marching cubes in one call (the -sample / log_recs path)."""
-    grid_points = create_grid_points_from_bounds(mini, maxi, resolution)
-    logits = get_logits(
-        decoder, params, encoding, grid_points, chunk_size, mesh, evaluator
-    )
+    """Grid-evaluate + marching cubes in one call (the -sample / log_recs path).
+
+    use_pallas: None = auto (fused kernel when the decoder is an NPHM
+    ensemble and a real TPU backend is active); the XLA chunked evaluator
+    otherwise.
+    """
+    if use_pallas is None:
+        use_pallas = evaluator is None and mesh is None and _pallas_available(
+            decoder
+        )
+    if use_pallas:
+        logits = pallas_grid_logits(
+            decoder, params, encoding, mini, maxi, resolution
+        )
+    else:
+        grid_points = create_grid_points_from_bounds(mini, maxi, resolution)
+        logits = get_logits(
+            decoder, params, encoding, grid_points, chunk_size, mesh, evaluator
+        )
     return mesh_from_logits(logits, mini, maxi, resolution)

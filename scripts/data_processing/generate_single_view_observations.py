@@ -14,6 +14,11 @@ import os
 
 import numpy as np
 
+import sys as _sys
+import os as _os
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
 from nphm_tpu import env_paths
 from nphm_tpu.data.manager import DataManager
 from nphm_tpu.evaluation.render import fibonacci_sphere, look_at, rasterize

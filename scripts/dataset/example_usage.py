@@ -13,6 +13,11 @@ import os
 
 import numpy as np
 
+import sys as _sys
+import os as _os
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
 from nphm_tpu.data.manager import DataManager
 
 

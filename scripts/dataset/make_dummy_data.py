@@ -11,6 +11,11 @@ Then export the env vars it prints (or `eval $(... --print-env)`).
 
 import argparse
 
+import sys as _sys
+import os as _os
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
 from nphm_tpu.data.dummy import dummy_env, generate_dummy_data
 
 

@@ -18,6 +18,11 @@ import os
 import numpy as np
 from scipy.spatial import cKDTree as KDTree
 
+import sys as _sys
+import os as _os
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
 from nphm_tpu import env_paths
 from nphm_tpu.data.manager import DataManager
 from nphm_tpu.evaluation.metrics import eval_pointcloud

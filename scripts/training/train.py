@@ -11,6 +11,11 @@ import os
 import jax
 import numpy as np
 
+import sys as _sys
+import os as _os
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
+
 from nphm_tpu import env_paths
 from nphm_tpu.config import (
     build_identity_decoder,
