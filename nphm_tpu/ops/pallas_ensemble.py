@@ -53,6 +53,7 @@ from nphm_tpu.models.ensemble import NPHMConfig, _split_cond, predict_anchors
 
 DEFAULT_TILE = 1024  # 1-D f32 output tiling is T(1024); tile must be a multiple
 _ACTIVATION = "softplus"  # private ablation hook ("relu" for perf probes)
+DEFAULT_GROUP = 13  # members per grid step (39 = 3 steps); amortizes step cost
 # Skip a member when its blend weight is < eps for all points in a tile.
 # The far-field error bound is n_loc*eps relative to the 1e-6 normalization
 # floor, so eps=1e-12 keeps the worst-case SDF error below ~4e-5*|sdf|.
@@ -60,12 +61,18 @@ CULL_EPS = 1e-12
 SQRT2 = 1.4142135623730951
 
 
-def prepare_pallas_operands(params, cfg: NPHMConfig, lat, dtype=jnp.float32):
+def prepare_pallas_operands(
+    params, cfg: NPHMConfig, lat, dtype=jnp.float32, group: int = 1
+):
     """Fold latent conditioning, symmetric sharing and mirroring into
     kernel-ready per-member operands.
 
     lat: [lat_dim] or [1, lat_dim].  Pure XLA, cheap (a few [40, hidden]
     einsums), safe to run inside the same jit as the kernel call.
+
+    group: member-axis operands are zero-padded to a multiple of this (the
+    kernel evaluates ``group`` members per grid step); padded members get a
+    far-away sentinel center so the cull predicate always skips them.
 
     Returns (operands, anchors[n_loc, 3]); operands is the flat tuple
     (centers, w0p, wsp, *hidden_ws, *biases) the kernel consumes.
@@ -84,12 +91,16 @@ def prepare_pallas_operands(params, cfg: NPHMConfig, lat, dtype=jnp.float32):
     def expand(t):  # distinct -> per-member, anchored members only
         return jnp.take(t, member_map, axis=0)
 
-    def fold_sign(wp):  # wp [K, ds, out]: mirror = flip sign of the x row
-        row_scale = jnp.concatenate(
+    def fold_sign(wp):  # wp [K, out, ds]: mirror = flip sign of the x column
+        col_scale = jnp.concatenate(
             [sign[:, None], jnp.ones((K, ds - 1), sign.dtype)], axis=1
         )
-        return wp * row_scale[:, :, None]
+        return wp * col_scale[:, None, :]
 
+    # Everything below is laid out for the kernel's TRANSPOSED data flow
+    # (activations [hidden, points]): weights stay in their native [out, in]
+    # orientation, per-point vectors live on the lane axis, and per-member
+    # vectors (centers, biases) are [*, 1] columns that broadcast over lanes.
     hidden_ws = []
     biases = []
     wsp = None
@@ -97,37 +108,48 @@ def prepare_pallas_operands(params, cfg: NPHMConfig, lat, dtype=jnp.float32):
         w = params["ensemble"][i]["w"]  # [n_distinct, out, in]
         b = params["ensemble"][i]["b"]  # [n_distinct, out]
         if i == 0:
-            w0p = fold_sign(jnp.transpose(expand(w[:, :, :ds]), (0, 2, 1)))
+            w0p = fold_sign(expand(w[:, :, :ds]))  # [K, H0, 3]
             bias = (
                 jnp.einsum("kc,koc->ko", cond[:K], expand(w[:, :, ds:]))
                 + expand(b)
             )
         elif i == skip_in:
             h = w.shape[2] - cfg.d_in
-            hidden_ws.append(
-                jnp.transpose(expand(w[:, :, :h]), (0, 2, 1)).astype(dtype)
-                / SQRT2
-            )
-            wsp = (
-                fold_sign(jnp.transpose(expand(w[:, :, h : h + ds]), (0, 2, 1)))
-                / SQRT2
-            )
+            hidden_ws.append(expand(w[:, :, :h]).astype(dtype) / SQRT2)
+            wsp = fold_sign(expand(w[:, :, h : h + ds])) / SQRT2
             bias = (
                 jnp.einsum("kc,koc->ko", cond[:K], expand(w[:, :, h + ds :]))
                 / SQRT2
                 + expand(b)
             )
         elif i == n_layers - 1:
-            # consumed as a VPU row-reduce: keep [K, out, in] layout, f32
-            hidden_ws.append(expand(w).astype(jnp.float32))
+            # consumed as a VPU column-reduce: [K, in, out] layout, f32
+            hidden_ws.append(
+                jnp.transpose(expand(w), (0, 2, 1)).astype(jnp.float32)
+            )
             bias = expand(b)
         else:
-            hidden_ws.append(jnp.transpose(expand(w), (0, 2, 1)).astype(dtype))
+            hidden_ws.append(expand(w).astype(dtype))
             bias = expand(b)
-        biases.append(bias.astype(jnp.float32))
+        biases.append(bias.astype(jnp.float32)[:, :, None])  # [K, H_i, 1]
+
+    centers = anchors.astype(jnp.float32)[:, :, None]  # [K, 3, 1]
+    pad = (-K) % group
+    if pad:
+        def zpad(t):
+            return jnp.concatenate(
+                [t, jnp.zeros((pad,) + t.shape[1:], t.dtype)], axis=0
+            )
+
+        centers = jnp.concatenate(
+            [centers, jnp.full((pad, 3, 1), 1e9, jnp.float32)], axis=0
+        )
+        w0p, wsp = zpad(w0p), zpad(wsp)
+        hidden_ws = [zpad(t) for t in hidden_ws]
+        biases = [zpad(t) for t in biases]
 
     operands = (
-        anchors.astype(jnp.float32),  # centers == anchors for anchored members
+        centers,
         w0p.astype(jnp.float32),  # consumed on the VPU
         wsp.astype(jnp.float32),
         *hidden_ws,
@@ -136,10 +158,10 @@ def prepare_pallas_operands(params, cfg: NPHMConfig, lat, dtype=jnp.float32):
     return operands, anchors
 
 
-def _make_kernel(cfg: NPHMConfig, tile: int, dtype, cull_r2: float):
+def _make_kernel(cfg: NPHMConfig, tile: int, dtype, cull_r2: float, group: int):
     shapes, skip_in = cfg.layer_shapes
     n_layers = len(shapes)
-    K = cfg.n_loc
+    n_groups = -(-cfg.n_loc // group)
     inv_var = 1.0 / cfg.blend_var
     bg_w = float(np.exp(cfg.blend_background_dist / cfg.blend_var))
 
@@ -150,85 +172,92 @@ def _make_kernel(cfg: NPHMConfig, tile: int, dtype, cull_r2: float):
         return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / cfg.beta)
 
     def point_matmul(wp, raw):
-        # [T, 3] x [3, H] as three VPU outer products: a K=3 MXU matmul
+        # [H, 3] x [3, T] as three VPU outer products: a K=3 MXU matmul
         # would pad the contraction to 128 and waste ~40x the FLOPs.
-        acc = raw[:, 0:1] * wp[0:1, :]
-        for i in range(1, raw.shape[1]):
-            acc += raw[:, i : i + 1] * wp[i : i + 1, :]
+        acc = wp[:, 0:1] * raw[0:1, :]
+        for i in range(1, raw.shape[0]):
+            acc += wp[:, i : i + 1] * raw[i : i + 1, :]
         return acc
 
     def kernel(*refs):
+        # TRANSPOSED data flow: points live on the lane axis, so per-point
+        # scalars (distances, blend weights, accumulators) are [1, T] rows
+        # at full lane utilization — in the [T, 1] orientation every one of
+        # those VPU ops would run 128x under-utilized.
         q_ref, center_ref, w0p_ref, wsp_ref = refs[:4]
         wh_refs = refs[4 : 4 + n_layers - 1]
         b_refs = refs[4 + n_layers - 1 : 4 + 2 * n_layers - 1]
         out_ref = refs[-3]
         num_ref, den_ref = refs[-2], refs[-1]  # scratch args follow outputs
 
-        k = pl.program_id(1)
+        k = pl.program_id(1)  # member-group index
 
         @pl.when(k == 0)
         def _():
-            num_ref[:] = jnp.full((tile, 1), bg_w * 1.0, jnp.float32)
-            den_ref[:] = jnp.full((tile, 1), bg_w, jnp.float32)
+            num_ref[:] = jnp.full((1, tile), bg_w * 1.0, jnp.float32)
+            den_ref[:] = jnp.full((1, tile), bg_w, jnp.float32)
 
-        q = q_ref[:]  # [T, 3] f32
-        raw = q - center_ref[pl.ds(k, 1), :]  # [T, 3]
-        dist2 = jnp.sum(raw * raw, axis=1, keepdims=True)  # [T, 1]
+        q = q_ref[:]  # [3, T] f32
 
-        @pl.when(jnp.min(dist2) < cull_r2)
-        def _():
-            dd = jnp.sqrt(dist2 + 1e-20)
-            w = jnp.exp(-((dd + 1e-5) ** 2) * inv_var)  # [T, 1] f32
+        for g in range(group):  # static unroll: amortizes grid-step overhead
+            raw = q - center_ref[g]  # [3, T] - [3, 1]
+            dist2 = jnp.sum(raw * raw, axis=0, keepdims=True)  # [1, T]
 
-            h = None
-            wi = 0
-            for i in range(n_layers):
-                bias = b_refs[i][pl.ds(k, 1), :]  # [1, out_i] f32
-                if i == 0:
-                    z = point_matmul(w0p_ref[0], raw) + bias
-                elif i == n_layers - 1:
-                    # [T, H] x [H, 1]: row-reduce on the VPU; an MXU matmul
-                    # would pad the 1-wide output to 128 lanes.
-                    z = (
-                        jnp.sum(h * wh_refs[wi][0], axis=1, keepdims=True)
-                        + bias
-                    )
-                    wi += 1
-                elif i == skip_in:
-                    z = (
-                        jnp.dot(
-                            h.astype(dtype),
-                            wh_refs[wi][0],
-                            preferred_element_type=jnp.float32,
+            @pl.when(jnp.min(dist2) < cull_r2)
+            def _(raw=raw, dist2=dist2, g=g):
+                dd = jnp.sqrt(dist2 + 1e-20)
+                w = jnp.exp(-((dd + 1e-5) ** 2) * inv_var)  # [1, T] f32
+
+                h = None
+                wi = 0
+                for i in range(n_layers):
+                    bias = b_refs[i][g]  # [out_i, 1] f32
+                    if i == 0:
+                        z = point_matmul(w0p_ref[g], raw) + bias
+                    elif i == n_layers - 1:
+                        # [1, H] x [H, T] contraction as a VPU column-reduce;
+                        # an MXU matmul would pad the 1-wide output sublane.
+                        z = (
+                            jnp.sum(h * wh_refs[wi][g], axis=0, keepdims=True)
+                            + bias
                         )
-                        + point_matmul(wsp_ref[0], raw)
-                        + bias
-                    )
-                    wi += 1
-                else:
-                    z = (
-                        jnp.dot(
-                            h.astype(dtype),
-                            wh_refs[wi][0],
-                            preferred_element_type=jnp.float32,
+                        wi += 1
+                    elif i == skip_in:
+                        z = (
+                            jnp.dot(
+                                wh_refs[wi][g],
+                                h.astype(dtype),
+                                preferred_element_type=jnp.float32,
+                            )
+                            + point_matmul(wsp_ref[g], raw)
+                            + bias
                         )
-                        + bias
-                    )
-                    wi += 1
-                if i < n_layers - 1:
-                    h = softplus100(z)
-            num_ref[:] = num_ref[:] + w * z[:, :1]
-            den_ref[:] = den_ref[:] + w
+                        wi += 1
+                    else:
+                        z = (
+                            jnp.dot(
+                                wh_refs[wi][g],
+                                h.astype(dtype),
+                                preferred_element_type=jnp.float32,
+                            )
+                            + bias
+                        )
+                        wi += 1
+                    if i < n_layers - 1:
+                        h = softplus100(z)
+                num_ref[:] = num_ref[:] + w * z[:1, :]
+                den_ref[:] = den_ref[:] + w
 
-        @pl.when(k == K - 1)
+        @pl.when(k == n_groups - 1)
         def _():
-            out_ref[:] = (num_ref[:] / (den_ref[:] + 1e-6))[:, 0]
+            out_ref[:] = (num_ref[:] / (den_ref[:] + 1e-6))[0, :]
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tile", "dtype", "cull_eps", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "tile", "dtype", "cull_eps", "group", "interpret"),
 )
 def nphm_sdf_pallas(
     params,
@@ -239,9 +268,14 @@ def nphm_sdf_pallas(
     tile: int = DEFAULT_TILE,
     dtype=jnp.float32,
     cull_eps: float = CULL_EPS,
+    group: int = DEFAULT_GROUP,
     interpret: bool | None = None,
 ):
     """Eval-mode NPHM SDF via the fused kernel.
+
+    group: members evaluated per grid step (statically unrolled).  The
+    per-grid-step pipeline overhead (~us) dominates the tiny per-member
+    MLPs, so batching members amortizes it; culling stays per-member.
 
     xyz: [N, 3] (padded to a tile multiple internally); lat: [lat_dim] or
     [1, lat_dim].  Returns sdf [N] f32.  Matches
@@ -272,27 +306,22 @@ def nphm_sdf_pallas(
         )
     grid_t = xyz.shape[0] // tile
 
-    operands, _ = prepare_pallas_operands(params, cfg, lat, dtype)
-    kernel = _make_kernel(cfg, tile, dtype, cull_r2)
+    operands, _ = prepare_pallas_operands(params, cfg, lat, dtype, group)
+    kernel = _make_kernel(cfg, tile, dtype, cull_r2, group)
+    n_groups = -(-K // group)
 
     def member_block(shape):
-        # one member's slab of a [K, ...] operand
+        # one member-group slab of a [Kp, ...] operand
         return pl.BlockSpec(
-            (1, *shape), lambda t, k: (k,) + (0,) * len(shape),
+            (group, *shape), lambda t, k: (k,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
 
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((tile, 3), lambda t, k: (t, 0), memory_space=pltpu.VMEM),
-        full(),  # centers: [K, 3], tiny, resident; row-sliced by k
-        member_block(operands[1].shape[1:]),  # w0p
-        member_block(operands[2].shape[1:]),  # wsp
+        pl.BlockSpec((3, tile), lambda t, k: (0, t), memory_space=pltpu.VMEM),
     ]
-    for op in operands[3 : 3 + n_layers - 1]:  # hidden weights, per member
+    for op in operands:  # centers, w0p, wsp, hidden ws, biases: per member
         in_specs.append(member_block(op.shape[1:]))
-    for _ in range(n_layers):  # biases: [K, H_i], small, resident
-        in_specs.append(full())
 
     flops_pp = sum(2 * s_in * s_out for (s_in, s_out) in shapes)
     cost = pl.CostEstimate(
@@ -303,19 +332,19 @@ def nphm_sdf_pallas(
 
     out = pl.pallas_call(
         kernel,
-        grid=(grid_t, K),
+        grid=(grid_t, n_groups),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tile,), lambda t, k: (t,), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((grid_t * tile,), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile, 1), jnp.float32),
-            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.VMEM((1, tile), jnp.float32),
+            pltpu.VMEM((1, tile), jnp.float32),
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(xyz.astype(jnp.float32), *operands)
+    )(jnp.transpose(xyz.astype(jnp.float32)), *operands)
     return out[:n]
 
 
@@ -338,6 +367,42 @@ def _brick_shape(res: int, tile: int):
     return best
 
 
+def _brick_points(cfg_axes, lin, res: int, brick, tile: int):
+    """Grid coordinates of brick-order linear indices ``lin`` (on device)."""
+    if brick is None:
+        ix = lin // (res * res)
+        iy = (lin // res) % res
+        iz = lin % res
+    else:
+        bx, by, bz = brick
+        nby, nbz = res // by, res // bz
+        b, i = lin // tile, lin % tile
+        ix = (b // (nby * nbz)) * bx + i // (by * bz)
+        iy = ((b // nbz) % nby) * by + (i // bz) % by
+        iz = (b % nbz) * bz + i % bz
+    return jnp.stack(
+        [cfg_axes[0][ix], cfg_axes[1][iy], cfg_axes[2][iz]], axis=-1
+    )
+
+
+def _unbrick_gather(res: int, brick, tile: int):
+    """Natural (x-major) index -> brick-order position, as a gather map."""
+    lin = jnp.arange(res * res * res, dtype=jnp.int32)
+    if brick is None:
+        return lin
+    bx, by, bz = brick
+    nby, nbz = res // by, res // bz
+    jx = lin // (res * res)
+    jy = (lin // res) % res
+    jz = lin % res
+    return (
+        ((jx // bx) * nby * nbz + (jy // by) * nbz + jz // bz) * tile
+        + (jx % bx) * (by * bz)
+        + (jy % by) * bz
+        + (jz % bz)
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -348,7 +413,9 @@ def _brick_shape(res: int, tile: int):
         "tile",
         "dtype",
         "cull_eps",
+        "group",
         "interpret",
+        "device_mesh",
     ),
 )
 def nphm_grid_sdf_pallas(
@@ -362,7 +429,9 @@ def nphm_grid_sdf_pallas(
     tile: int = DEFAULT_TILE,
     dtype=jnp.float32,
     cull_eps: float = CULL_EPS,
+    group: int = DEFAULT_GROUP,
     interpret: bool | None = None,
+    device_mesh=None,
 ):
     """Dense-grid SDF evaluation, fully on device.
 
@@ -372,8 +441,16 @@ def nphm_grid_sdf_pallas(
     (a) nothing is shipped through the host and (b) every kernel tile is a
     compact spatial brick, which is what makes member culling effective.
 
+    device_mesh: optional ``jax.sharding.Mesh`` — bricks are sharded across
+    its devices with ``shard_map`` (the multi-chip analogue of the
+    reference's serial 25k-point chunks, SURVEY.md section 2.3) and the
+    logits all-gather back.  res^3 must tile evenly across devices.
+
     Returns logits [res^3] f32 in the natural (x-major) grid order.
     """
+    if interpret is None and device_mesh is not None:
+        # the kernel runs on the mesh's devices, not the default backend
+        interpret = device_mesh.devices.flat[0].platform != "tpu"
     brick = _brick_shape(res, tile)
     axes = [
         jnp.linspace(mini[i], maxi[i], res, dtype=jnp.float32)
@@ -381,41 +458,34 @@ def nphm_grid_sdf_pallas(
     ]
     n = res * res * res
     lin = jnp.arange(n, dtype=jnp.int32)
-    if brick is None:
-        # resolution does not tile into bricks: natural order (still correct,
-        # culling just degrades)
-        ix = lin // (res * res)
-        iy = (lin // res) % res
-        iz = lin % res
-        pts = jnp.stack([axes[0][ix], axes[1][iy], axes[2][iz]], axis=-1)
-        sdf = nphm_sdf_pallas(
-            params, cfg, pts, lat,
-            tile=tile, dtype=dtype, cull_eps=cull_eps, interpret=interpret,
+
+    def eval_lin(p, l, lin_part):
+        pts = _brick_points(axes, lin_part, res, brick, tile)
+        return nphm_sdf_pallas(
+            p, cfg, pts, l,
+            tile=tile, dtype=dtype, cull_eps=cull_eps, group=group,
+            interpret=interpret,
         )
-        return sdf
-    bx, by, bz = brick
-    nby, nbz = res // by, res // bz
-    # brick-order linear index -> (ix, iy, iz)
-    b, i = lin // tile, lin % tile
-    ix = (b // (nby * nbz)) * bx + i // (by * bz)
-    iy = ((b // nbz) % nby) * by + (i // bz) % by
-    iz = (b % nbz) * bz + i % bz
-    pts = jnp.stack([axes[0][ix], axes[1][iy], axes[2][iz]], axis=-1)
-    sdf_brick = nphm_sdf_pallas(
-        params, cfg, pts, lat,
-        tile=tile, dtype=dtype, cull_eps=cull_eps, interpret=interpret,
-    )
-    # natural (x-major) index -> brick-order position, as a gather
-    jx = lin // (res * res)
-    jy = (lin // res) % res
-    jz = lin % res
-    p = (
-        ((jx // bx) * nby * nbz + (jy // by) * nbz + jz // bz) * tile
-        + (jx % bx) * (by * bz)
-        + (jy % by) * bz
-        + (jz % bz)
-    )
-    return sdf_brick[p]
+
+    if device_mesh is None:
+        sdf_brick = eval_lin(params, lat, lin)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        axis = device_mesh.axis_names[0]
+        n_dev = device_mesh.devices.size
+        if n % (n_dev * tile):
+            raise ValueError(
+                f"res^3={n} must split into whole tiles across {n_dev} devices"
+            )
+        sdf_brick = jax.shard_map(
+            eval_lin,
+            mesh=device_mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,  # pallas_call out_shape carries no vma info
+        )(params, lat, lin)
+    return sdf_brick[_unbrick_gather(res, brick, tile)]
 
 
 def apply_nphm_pallas(params, cfg: NPHMConfig, xyz, lat, **kw):

@@ -255,15 +255,20 @@ def extract_mesh(
 
     use_pallas: None = auto (fused kernel when the decoder is an NPHM
     ensemble and a real TPU backend is active); the XLA chunked evaluator
-    otherwise.
+    (``evaluator`` or a fresh one) is the fallback path.
     """
     if use_pallas is None:
-        use_pallas = evaluator is None and mesh is None and _pallas_available(
-            decoder
-        )
+        use_pallas = _pallas_available(decoder)
     if use_pallas:
+        from nphm_tpu.ops.pallas_ensemble import DEFAULT_TILE
+
+        kw = {}
+        if mesh is not None and resolution**3 % (
+            mesh.devices.size * DEFAULT_TILE
+        ) == 0:
+            kw["device_mesh"] = mesh
         logits = pallas_grid_logits(
-            decoder, params, encoding, mini, maxi, resolution
+            decoder, params, encoding, mini, maxi, resolution, **kw
         )
     else:
         grid_points = create_grid_points_from_bounds(mini, maxi, resolution)

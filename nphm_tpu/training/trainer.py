@@ -29,8 +29,6 @@ import numpy as np
 import optax
 
 from nphm_tpu import env_paths
-from nphm_tpu.ops.grid import create_grid_points_from_bounds
-from nphm_tpu.ops.marching import mesh_from_logits
 from nphm_tpu.reconstruction.extract import make_sdf_evaluator
 from nphm_tpu.training import checkpoints as ckpt
 from nphm_tpu.training.latents import (
@@ -103,7 +101,6 @@ class IdentityTrainer:
         self.log_steps = 0
 
         self._evaluator = None
-        self._grid_points = None
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2, 3))
         self._val_step = jax.jit(self._val_step_impl, donate_argnums=(0, 1))
@@ -271,11 +268,13 @@ class IdentityTrainer:
         try:
             exp_dir = os.path.join(self.exp_path, "recs", f"epoch_{epoch}")
             os.makedirs(exp_dir, exist_ok=True)
-            if self._evaluator is None:
+            from nphm_tpu.reconstruction.extract import (
+                _pallas_available,
+                extract_mesh,
+            )
+
+            if self._evaluator is None and not _pallas_available(self.decoder):
                 self._evaluator = make_sdf_evaluator(self.decoder)
-                self._grid_points = create_grid_points_from_bounds(
-                    RECON_BOX_MIN, RECON_BOX_MAX, self.recon_resolution
-                )
             n = min(n_recs, len(self.val_dataset) // 2 or 1)
             for jj in range(n):
                 step_t = (jj + n * self.log_steps) % len(self.train_dataset)
@@ -284,15 +283,14 @@ class IdentityTrainer:
                     ("train", self.latents, step_t),
                     ("val", self.latents_val, step_v),
                 ):
-                    logits = self._evaluator(
-                        {
-                            "params": self.params,
-                            "lat": table[step][None],
-                        },
-                        self._grid_points,
-                    )[:, 0]
-                    mesh = mesh_from_logits(
-                        logits, RECON_BOX_MIN, RECON_BOX_MAX, self.recon_resolution
+                    mesh = extract_mesh(
+                        self.decoder,
+                        self.params,
+                        table[step][None],
+                        RECON_BOX_MIN,
+                        RECON_BOX_MAX,
+                        self.recon_resolution,
+                        evaluator=self._evaluator,
                     )
                     mesh.export(os.path.join(exp_dir, f"{tag}_{step}.ply"))
             self.log_steps += 1

@@ -22,8 +22,6 @@ import optax
 
 from nphm_tpu import env_paths
 from nphm_tpu.models.ensemble import predict_anchors
-from nphm_tpu.ops.grid import create_grid_points_from_bounds
-from nphm_tpu.ops.marching import mesh_from_logits
 from nphm_tpu.reconstruction.extract import (
     deform_mesh,
     make_deform_evaluator,
@@ -113,7 +111,6 @@ class DeformationTrainer:
 
         self._sdf_eval = None
         self._def_eval = None
-        self._grid_points = None
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2, 3))
         self._val_step = jax.jit(self._val_step_impl, donate_argnums=(0, 1))
@@ -301,12 +298,17 @@ class DeformationTrainer:
                 return
             exp_dir = os.path.join(self.exp_path, "recs", f"{mode}_epoch_{epoch}")
             os.makedirs(exp_dir, exist_ok=True)
-            if self._sdf_eval is None:
-                self._sdf_eval = make_sdf_evaluator(self.decoder_shape)
+            from nphm_tpu.reconstruction.extract import (
+                _pallas_available,
+                extract_mesh,
+            )
+
+            if self._def_eval is None:
                 self._def_eval = make_deform_evaluator(self.decoder)
-                self._grid_points = create_grid_points_from_bounds(
-                    RECON_BOX_MIN, RECON_BOX_MAX, self.recon_resolution
-                )
+            if self._sdf_eval is None and not _pallas_available(
+                self.decoder_shape
+            ):
+                self._sdf_eval = make_sdf_evaluator(self.decoder_shape)
             for jj in range(min(n_recs, len(d_set))):
                 rnd = (jj + self.past_eval_steps) % len(d_set)
                 self.past_eval_steps += 1
@@ -314,12 +316,14 @@ class DeformationTrainer:
                 lat_shape = shape_table[subj_ind][None]
                 lat_expr = table[rnd][None]
                 anchors = self._anchors_for(lat_shape, {})
-                logits = self._sdf_eval(
-                    {"params": self.params_shape, "lat": lat_shape},
-                    self._grid_points,
-                )[:, 0]
-                mesh = mesh_from_logits(
-                    logits, RECON_BOX_MIN, RECON_BOX_MAX, self.recon_resolution
+                mesh = extract_mesh(
+                    self.decoder_shape,
+                    self.params_shape,
+                    lat_shape,
+                    RECON_BOX_MIN,
+                    RECON_BOX_MAX,
+                    self.recon_resolution,
+                    evaluator=self._sdf_eval,
                 )
                 deformed = deform_mesh(
                     mesh, self.decoder, self.params, lat_expr,

@@ -31,8 +31,6 @@ from nphm_tpu.config import (
 )
 from nphm_tpu.data.manager import DataManager
 from nphm_tpu.fitting import FittingConfig, fit_joint
-from nphm_tpu.ops.grid import create_grid_points_from_bounds
-from nphm_tpu.ops.marching import mesh_from_logits
 from nphm_tpu.reconstruction.extract import (
     deform_mesh,
     make_deform_evaluator,
@@ -74,15 +72,22 @@ def sample_shape_space(args, CFG, decoder_shape, params_shape):
     lat_mean = np.load(os.path.join(env_paths.ASSETS, f"{prefix}_lat_mean.npy"))
     lat_std = np.load(os.path.join(env_paths.ASSETS, f"{prefix}_lat_std.npy"))
 
-    grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, args.resolution)
-    evaluator = make_sdf_evaluator(decoder_shape, chunk_size=args.batch_points)
+    from nphm_tpu.reconstruction.extract import _pallas_available, extract_mesh
+
+    evaluator = (
+        None
+        if _pallas_available(decoder_shape)
+        else make_sdf_evaluator(decoder_shape, chunk_size=args.batch_points)
+    )
     rng = np.random.default_rng(args.seed)
     for step in range(args.n_samples):
         lat = (rng.normal(size=lat_mean.shape) * lat_std * 0.85 + lat_mean).astype(
             np.float32
         )[None]
-        logits = evaluator({"params": params_shape, "lat": lat}, grid_points)[:, 0]
-        mesh = mesh_from_logits(logits, GRID_MIN, GRID_MAX, args.resolution)
+        mesh = extract_mesh(
+            decoder_shape, params_shape, lat, GRID_MIN, GRID_MAX,
+            args.resolution, chunk_size=args.batch_points, evaluator=evaluator,
+        )
         mesh.export(os.path.join(out_dir, f"mesh_{step:04d}.ply"))
         np.save(os.path.join(out_dir, f"lat_{step:04d}.npy"), lat)
         print(f"sample {step}: {len(mesh.vertices)} verts")
@@ -95,8 +100,13 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
     )
     subjects = [351, 365] if args.demo else env_paths.subjects_test
 
-    grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, args.resolution)
-    sdf_eval = make_sdf_evaluator(decoder_shape, chunk_size=args.batch_points)
+    from nphm_tpu.reconstruction.extract import _pallas_available, extract_mesh
+
+    sdf_eval = (
+        None
+        if _pallas_available(decoder_shape)
+        else make_sdf_evaluator(decoder_shape, chunk_size=args.batch_points)
+    )
     def_eval = make_deform_evaluator(decoder_expr)
 
     print("############ Starting Fitting ############")
@@ -117,8 +127,10 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
             cfg=fcfg,
         )
 
-        logits = sdf_eval({"params": params_shape, "lat": lat_shape}, grid_points)[:, 0]
-        mesh_can = mesh_from_logits(logits, GRID_MIN, GRID_MAX, args.resolution)
+        mesh_can = extract_mesh(
+            decoder_shape, params_shape, lat_shape, GRID_MIN, GRID_MAX,
+            args.resolution, chunk_size=args.batch_points, evaluator=sdf_eval,
+        )
         for i, expr_ind in enumerate(inds):
             mesh = deform_mesh(
                 mesh_can, decoder_expr, params_expr, lat_expr[i][None],

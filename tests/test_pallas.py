@@ -104,6 +104,26 @@ def test_grid_path_matches_xla_in_brick_and_fallback_order(setup):
         )
 
 
+def test_grid_path_shards_over_device_mesh(setup):
+    cfg, decoder, params, lat = setup
+    from jax.sharding import Mesh
+
+    from nphm_tpu.ops.grid import create_grid_points_from_bounds
+    from nphm_tpu.ops.pallas_ensemble import nphm_grid_sdf_pallas
+
+    mini, maxi = (-0.55, -0.5, -0.95), (0.55, 0.75, 0.4)
+    res = 32
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    pts = create_grid_points_from_bounds(mini, maxi, res)
+    ref, _ = decoder.apply(params, jnp.asarray(pts)[None], lat, training=False)
+    out = nphm_grid_sdf_pallas(
+        params, cfg, lat[0], mini, maxi, res, interpret=True, device_mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[0, :, 0]), atol=1e-4
+    )
+
+
 def test_bf16_operands_are_close(setup):
     cfg, decoder, params, lat = setup
     xyz = jax.random.normal(jax.random.PRNGKey(6), (1, 1024, 3)) * 0.4
