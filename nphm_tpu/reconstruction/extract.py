@@ -239,6 +239,73 @@ def pallas_grid_logits(
     return np.asarray(out)
 
 
+def pallas_backward_grid_logits(
+    decoder_shape,
+    decoder_expr,
+    params_shape,
+    params_expr,
+    encoding_shape,
+    encoding_expr,
+    mini,
+    maxi,
+    resolution: int,
+    anchors=None,
+    chunk_size: int = DEFAULT_CHUNK,
+    **kernel_kw,
+) -> np.ndarray:
+    """Backward-warp grid logits via the fused kernel: deform brick-ordered
+    grid points through the expression field (chunked XLA), then query the
+    identity ensemble with the Pallas kernel (reference reconstruction.py:
+    28-56 semantics).  Warps are smooth and small, so warped bricks stay
+    spatially compact and member culling keeps firing.
+    """
+    from nphm_tpu.ops.pallas_ensemble import (
+        DEFAULT_TILE,
+        _brick_points,
+        _brick_shape,
+        _unbrick_gather,
+        nphm_sdf_pallas,
+    )
+
+    cfg = decoder_shape.cfg
+    tile = kernel_kw.get("tile", DEFAULT_TILE)
+    res = int(resolution)
+    lat_s = _as_lat(encoding_shape)
+    lat_e = None if encoding_expr is None else _as_lat(encoding_expr)
+    anchors_j = (
+        None if anchors is None else jnp.asarray(anchors).reshape(1, -1, 3)
+    )
+    mini = tuple(float(x) for x in mini)
+    maxi = tuple(float(x) for x in maxi)
+
+    @partial(jax.jit, static_argnames=())
+    def run(params_shape, params_expr, lat_s, lat_e, anchors_j):
+        brick = _brick_shape(res, tile)
+        axes = [
+            jnp.linspace(mini[i], maxi[i], res, dtype=jnp.float32)
+            for i in range(3)
+        ]
+        n = res**3
+        pts = _brick_points(axes, jnp.arange(n, dtype=jnp.int32), res, brick, tile)
+        if lat_e is not None:
+            pad = (-n) % chunk_size
+            p = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)], 0)
+
+            def warp(chunk):
+                delta, _ = decoder_expr.apply(
+                    params_expr, chunk[None], lat_e, anchors_j
+                )
+                return chunk + delta[0]
+
+            pts = jax.lax.map(
+                warp, p.reshape(-1, chunk_size, 3)
+            ).reshape(-1, 3)[:n]
+        sdf = nphm_sdf_pallas(params_shape, cfg, pts, lat_s[0], **kernel_kw)
+        return sdf[_unbrick_gather(res, brick, tile)]
+
+    return np.asarray(run(params_shape, params_expr, lat_s, lat_e, anchors_j))
+
+
 def extract_mesh(
     decoder,
     params,

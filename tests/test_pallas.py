@@ -124,6 +124,42 @@ def test_grid_path_shards_over_device_mesh(setup):
     )
 
 
+def test_backward_warp_grid_logits(setup):
+    cfg, decoder, params, lat = setup
+    from nphm_tpu.models import DeformationConfig, make_deformation_decoder
+    from nphm_tpu.ops.grid import create_grid_points_from_bounds
+    from nphm_tpu.reconstruction.extract import (
+        get_logits_backward,
+        pallas_backward_grid_logits,
+    )
+
+    dcfg = DeformationConfig(
+        mode="glob_only",
+        lat_dim_glob_shape=cfg.lat_dim_glob,
+        lat_dim_expr=8,
+        hidden_dim=48,
+        n_layers=4,
+    )
+    expr = make_deformation_decoder(dcfg)
+    p_expr = expr.init(jax.random.PRNGKey(7))
+    lat_cond = jnp.concatenate(
+        [lat[0, : cfg.lat_dim_glob], jnp.full((8,), 0.05)]
+    )
+
+    mini, maxi = (-0.55, -0.5, -0.95), (0.55, 0.75, 0.4)
+    res = 32
+    pts = create_grid_points_from_bounds(mini, maxi, res)
+    ref = get_logits_backward(
+        decoder, expr, params, p_expr, lat[0], lat_cond, pts,
+        chunk_size=2048,
+    )
+    out = pallas_backward_grid_logits(
+        decoder, expr, params, p_expr, lat[0], lat_cond, mini, maxi, res,
+        chunk_size=2048, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_bf16_operands_are_close(setup):
     cfg, decoder, params, lat = setup
     xyz = jax.random.normal(jax.random.PRNGKey(6), (1, 1024, 3)) * 0.4
