@@ -71,6 +71,11 @@ class FittingConfig:
     training_mode_shape: bool = True  # reference fits with decoder_shape.train()
     log_every: int = 50
     seed: int = 0
+    # XLA matmul precision inside the fit loop.  "default" (f32-equivalent,
+    # 3-pass bf16) matches the reference's true-f32 torch matmuls;
+    # "bfloat16" (single pass, TF32-class) is ~3x faster on the fit's
+    # small batched matmuls and converges to the same clamped-|sdf| floor.
+    matmul_precision: str = "default"
 
     @property
     def total_steps(self) -> int:
@@ -281,7 +286,8 @@ def fit_joint(
 
     @jax.jit
     def run(carry):
-        return jax.lax.scan(step, carry, jnp.arange(total))
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jax.lax.scan(step, carry, jnp.arange(total))
 
     t0 = time.time()
     (lat_shape, lat_expr, _, _), history = run(
@@ -381,7 +387,8 @@ def fit_identity(
 
     @jax.jit
     def run(carry):
-        return jax.lax.scan(step, carry, jnp.arange(total))
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jax.lax.scan(step, carry, jnp.arange(total))
 
     t0 = time.time()
     (lat_shape, _), history = run((lat_shape, opt_state))

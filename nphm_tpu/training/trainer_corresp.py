@@ -112,8 +112,23 @@ class DeformationTrainer:
         self._sdf_eval = None
         self._def_eval = None
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2, 3))
-        self._val_step = jax.jit(self._val_step_impl, donate_argnums=(0, 1))
+        # matmul precision is a trace-time setting: "default" is
+        # f32-equivalent (3-pass bf16); "bfloat16" trades one pass of
+        # mantissa for ~3x on the ensemble's batched-small matmuls
+        prec = self.cfg.get("matmul_precision", "default")
+
+        def _with_prec(fn):
+            def wrapped(*a, **kw):
+                with jax.default_matmul_precision(prec):
+                    return fn(*a, **kw)
+            return wrapped
+
+        self._train_step = jax.jit(
+            _with_prec(self._train_step_impl), donate_argnums=(0, 1, 2, 3)
+        )
+        self._val_step = jax.jit(
+            _with_prec(self._val_step_impl), donate_argnums=(0, 1)
+        )
 
     # ------------------------------------------------------------------ loss
 
