@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from nphm_tpu.models.fields import point_jacobian
+from nphm_tpu.utils.math import inv3x3
 
 
 class BroydenState(NamedTuple):
@@ -139,7 +140,7 @@ def search(
         return x + delta
 
     j_init = point_jacobian(warp, xc_init)  # [B, M, 3, 3]
-    j_inv_init = jnp.linalg.inv(j_init)
+    j_inv_init = inv3x3(j_init)
 
     def g(x_flat):
         x = x_flat.reshape(n_batch, -1, 3)
@@ -178,7 +179,7 @@ def ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors):
 
     preds_posed = warp(xc_opt)  # traced w.r.t. latents
     j = jax.lax.stop_gradient(point_jacobian(warp, xc_opt))
-    j_inv = jnp.linalg.inv(j)
+    j_inv = inv3x3(j)
     correction = preds_posed - jax.lax.stop_gradient(preds_posed)
     correction = jnp.einsum("bnij,bnj->bni", -j_inv, correction)
     return xc_opt + correction

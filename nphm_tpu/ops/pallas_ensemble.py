@@ -184,9 +184,9 @@ def _make_kernel(cfg: NPHMConfig, tile: int, dtype, cull_r2: float, group: int):
         # scalars (distances, blend weights, accumulators) are [1, T] rows
         # at full lane utilization — in the [T, 1] orientation every one of
         # those VPU ops would run 128x under-utilized.
-        q_ref, center_ref, w0p_ref, wsp_ref = refs[:4]
-        wh_refs = refs[4 : 4 + n_layers - 1]
-        b_refs = refs[4 + n_layers - 1 : 4 + 2 * n_layers - 1]
+        active_ref, q_ref, center_ref, w0p_ref, wsp_ref = refs[:5]
+        wh_refs = refs[5 : 5 + n_layers - 1]
+        b_refs = refs[5 + n_layers - 1 : 5 + 2 * n_layers - 1]
         out_ref = refs[-3]
         num_ref, den_ref = refs[-2], refs[-1]  # scratch args follow outputs
 
@@ -200,11 +200,12 @@ def _make_kernel(cfg: NPHMConfig, tile: int, dtype, cull_r2: float, group: int):
         q = q_ref[:]  # [3, T] f32
 
         for g in range(group):  # static unroll: amortizes grid-step overhead
-            raw = q - center_ref[g]  # [3, T] - [3, 1]
-            dist2 = jnp.sum(raw * raw, axis=0, keepdims=True)  # [1, T]
-
-            @pl.when(jnp.min(dist2) < cull_r2)
-            def _(raw=raw, dist2=dist2, g=g):
+            # SMEM scalar predicate (precomputed box-distance cull): no
+            # in-kernel vector->scalar reduction, no VPU pipeline sync.
+            @pl.when(active_ref[pl.program_id(0) % 8, k * group + g] != 0)
+            def _(g=g):
+                raw = q - center_ref[g]  # [3, T] - [3, 1]
+                dist2 = jnp.sum(raw * raw, axis=0, keepdims=True)  # [1, T]
                 dd = jnp.sqrt(dist2 + 1e-20)
                 w = jnp.exp(-((dd + 1e-5) ** 2) * inv_var)  # [1, T] f32
 
@@ -306,9 +307,35 @@ def nphm_sdf_pallas(
         )
     grid_t = xyz.shape[0] // tile
 
-    operands, _ = prepare_pallas_operands(params, cfg, lat, dtype, group)
+    operands, anchors = prepare_pallas_operands(params, cfg, lat, dtype, group)
     kernel = _make_kernel(cfg, tile, dtype, cull_r2, group)
     n_groups = -(-K // group)
+    Kp = n_groups * group
+
+    # Per-(tile, member) cull predicate, precomputed in XLA from tile
+    # bounding boxes: box-to-anchor distance lower-bounds every point-to-
+    # anchor distance, so this is a conservative superset of the exact
+    # per-point cull.  Computing it here (instead of a min-reduce inside
+    # the kernel) keeps the kernel free of vector->scalar pipeline syncs —
+    # the predicate arrives as an SMEM scalar per step.
+    pts_t = xyz.reshape(grid_t, tile, 3)
+    box_lo = jnp.min(pts_t, axis=1)  # [G, 3]
+    box_hi = jnp.max(pts_t, axis=1)
+    centers_k = jnp.concatenate(
+        [anchors, jnp.full((Kp - K, 3), 1e9, jnp.float32)], axis=0
+    )
+    clipped = jnp.clip(
+        centers_k[None, :, :], box_lo[:, None, :], box_hi[:, None, :]
+    )
+    box_d2 = jnp.sum((centers_k[None] - clipped) ** 2, axis=-1)  # [G, Kp]
+    active = (box_d2 < cull_r2).astype(jnp.int32)
+    # SMEM blocks obey the (8, _) sublane rule: ship 8 tile-rows per block
+    # and pick row t % 8 inside the kernel.
+    row_pad = (-grid_t) % 8
+    if row_pad:
+        active = jnp.concatenate(
+            [active, jnp.zeros((row_pad, Kp), jnp.int32)], axis=0
+        )
 
     def member_block(shape):
         # one member-group slab of a [Kp, ...] operand
@@ -318,6 +345,9 @@ def nphm_sdf_pallas(
         )
 
     in_specs = [
+        pl.BlockSpec(
+            (8, Kp), lambda t, k: (t // 8, 0), memory_space=pltpu.SMEM
+        ),  # active predicate rows for tiles [8*(t//8), 8*(t//8)+8)
         pl.BlockSpec((3, tile), lambda t, k: (0, t), memory_space=pltpu.VMEM),
     ]
     for op in operands:  # centers, w0p, wsp, hidden ws, biases: per member
@@ -344,7 +374,7 @@ def nphm_sdf_pallas(
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(jnp.transpose(xyz.astype(jnp.float32)), *operands)
+    )(active, jnp.transpose(xyz.astype(jnp.float32)), *operands)
     return out[:n]
 
 
