@@ -3,6 +3,7 @@ from nphm_tpu.fitting.inference import (
     FittingConfig,
     fit_identity,
     fit_joint,
+    fit_joint_batch,
     default_joint_lambdas,
     default_joint_schedule,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "FittingConfig",
     "fit_identity",
     "fit_joint",
+    "fit_joint_batch",
     "default_joint_lambdas",
     "default_joint_schedule",
 ]

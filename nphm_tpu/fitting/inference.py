@@ -313,6 +313,171 @@ def fit_joint(
     ), history
 
 
+def fit_joint_batch(
+    decoder_shape,
+    params_shape,
+    decoder_expr,
+    params_expr,
+    subjects_obs: List[List[np.ndarray]],
+    lambdas: Optional[Dict[str, float]] = None,
+    schedule: Optional[Dict[str, Dict[int, float]]] = None,
+    cfg: FittingConfig = FittingConfig(),
+    verbose: bool = True,
+):
+    """Fit MANY subjects at once by vmapping the per-subject fit step.
+
+    The reference protocol fits its 23 test identities serially
+    (fitting_pointclouds.py:241-287).  A single fit's matmuls are tiny
+    ([5000, hidden]) and run far below MXU peak; vmapping S subjects
+    multiplies every matmul's batch by S at the same step count, so the
+    whole test set costs barely more wall-clock than one subject.  The
+    per-subject optimization trajectory is identical to ``fit_joint`` up
+    to RNG draws (each subject folds its own seed).
+
+    subjects_obs: one observation list per subject (ragged sizes fine).
+    Returns per-subject lists: (lat_exprs, lat_shapes, anchors, history).
+    """
+    lambdas = dict(lambdas or default_joint_lambdas())
+    schedule = schedule or default_joint_schedule()
+    total = cfg.total_steps
+    S = len(subjects_obs)
+
+    lr_arr = jnp.asarray(
+        _scheduled_array(cfg.lr * cfg.lr_scale, schedule.get("lr", {}), total, cfg.step_scale)
+    )
+    lam_arrs = {
+        k: jnp.asarray(_scheduled_array(v, schedule.get(k, {}), total, cfg.step_scale))
+        for k, v in lambdas.items()
+    }
+    clamp_arr = jnp.asarray(_clamp_array(cfg.clamp_schedule, total, cfg.step_scale))
+
+    n_obs = np.asarray([len(o) for o in subjects_obs], np.int32)
+    o_max = int(n_obs.max())
+    p_max = int(max(len(o) for obs in subjects_obs for o in obs))
+    padded = np.zeros((S, o_max, p_max, 3), np.float32)
+    lens = np.ones((S, o_max), np.int32)  # 1 (not 0) so randint stays valid
+    for s, obs in enumerate(subjects_obs):
+        for i, o in enumerate(obs):
+            o = np.asarray(o, np.float32)[:, :3]
+            padded[s, i, : len(o)] = o
+            lens[s, i] = len(o)
+    padded, lens = jnp.asarray(padded), jnp.asarray(lens)
+    n_obs_j = jnp.asarray(n_obs)
+
+    lat_expr = jnp.zeros((S, o_max, decoder_expr.lat_dim), jnp.float32)
+    lat_shape = jnp.zeros((S, 1, decoder_shape.lat_dim), jnp.float32)
+
+    opt_shape = _make_optimizer(lr_arr)
+    opt_expr = _make_optimizer(lr_arr)
+    opt_shape_state = jax.vmap(opt_shape.init)(lat_shape)
+    opt_expr_state = jax.vmap(opt_expr.init)(lat_expr)
+
+    base_key = jax.random.PRNGKey(cfg.seed)
+    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+    use_anchors = decoder_shape.lat_dim_glob is not None
+
+    def subject_loss(lat_s, lat_e, s_padded, s_lens, s_n_obs, j, rng):
+        _, anchors = decoder_shape.apply(
+            params_shape,
+            jnp.zeros((1, 1, 3)),
+            lat_s,
+            training=cfg.training_mode_shape,
+        )
+        k1, k2 = jax.random.split(rng)
+        sel = jax.random.randint(k1, (nb,), 0, s_n_obs)
+        idx = jax.random.randint(k2, (nb, npp), 0, s_lens[sel][:, None])
+        obs = jnp.take_along_axis(s_padded[sel], idx[..., None], axis=1)
+
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])), lat_e[sel]], axis=-1
+        )
+        anchors_b = (
+            jnp.broadcast_to(anchors, (nb,) + anchors.shape[1:])
+            if use_anchors and anchors is not None
+            else None
+        )
+        xc_opt, result = search(
+            decoder_expr, params_expr, obs, cond, anchors_b,
+            max_steps=cfg.broyden_max_steps,
+            cvg_thresh=cfg.broyden_cvg,
+            dvg_thresh=cfg.broyden_dvg,
+        )
+        xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
+        sdf, _ = decoder_shape.apply(
+            params_shape,
+            xc,
+            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
+            training=cfg.training_mode_shape,
+        )
+        l = jnp.abs(sdf[..., 0])
+        mask = jnp.logical_and(result["valid_ids"], l < clamp_arr[j]).astype(l.dtype)
+        terms = {"surface": _masked_mean(l, mask)}
+        terms["reg_expr"] = jnp.mean(sq_norm(lat_e[sel]))
+        terms.update(
+            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
+        )
+        loss = 0.0
+        for k in lambdas:
+            loss = loss + lam_arrs[k][j] * terms[k]
+        return loss, terms
+
+    grad_fn = jax.value_and_grad(subject_loss, argnums=(0, 1), has_aux=True)
+
+    def step(carry, j):
+        lat_s, lat_e, os_state, oe_state = carry
+        rngs = jax.vmap(
+            lambda s: jax.random.fold_in(jax.random.fold_in(base_key, j), s)
+        )(jnp.arange(S))
+
+        def per_subject(lat_s_s, lat_e_s, pad_s, len_s, n_s, rng_s, os_s, oe_s):
+            (loss, terms), (g_s, g_e) = grad_fn(
+                lat_s_s, lat_e_s, pad_s, len_s, n_s, j, rng_s
+            )
+            upd_s, os_s = opt_shape.update(g_s, os_s, lat_s_s)
+            upd_e, oe_s = opt_expr.update(g_e, oe_s, lat_e_s)
+            return (
+                optax.apply_updates(lat_s_s, upd_s),
+                optax.apply_updates(lat_e_s, upd_e),
+                os_s,
+                oe_s,
+                loss,
+            )
+
+        lat_s, lat_e, os_state, oe_state, losses = jax.vmap(per_subject)(
+            lat_s, lat_e, padded, lens, n_obs_j, rngs, os_state, oe_state
+        )
+        return (lat_s, lat_e, os_state, oe_state), losses
+
+    @jax.jit
+    def run(carry):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jax.lax.scan(step, carry, jnp.arange(total))
+
+    t0 = time.time()
+    (lat_shape, lat_expr, _, _), losses = run(
+        (lat_shape, lat_expr, opt_shape_state, opt_expr_state)
+    )
+    losses = np.asarray(losses)
+    elapsed = time.time() - t0
+    if verbose:
+        print(
+            f"[fit_joint_batch] {S} subjects x {total} steps in {elapsed:.1f}s "
+            f"({total / max(elapsed, 1e-9):.1f} it/s, "
+            f"{S * total / max(elapsed, 1e-9):.1f} subject-steps/s)"
+        )
+
+    _, anchors = decoder_shape.apply(
+        params_shape, jnp.zeros((S, 1, 3)), lat_shape[:, 0], training=False
+    )
+    lat_exprs = [np.asarray(lat_expr[s, : n_obs[s]]) for s in range(S)]
+    lat_shapes = [np.asarray(lat_shape[s]) for s in range(S)]
+    anchors_list = (
+        [None] * S if anchors is None else [np.asarray(anchors[s : s + 1]) for s in range(S)]
+    )
+    history = {"loss": losses, "elapsed_s": elapsed}
+    return lat_exprs, lat_shapes, anchors_list, history
+
+
 def fit_identity(
     decoder_shape,
     params_shape,

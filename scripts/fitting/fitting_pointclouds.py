@@ -30,7 +30,7 @@ from nphm_tpu.config import (
     print_cfg,
 )
 from nphm_tpu.data.manager import DataManager
-from nphm_tpu.fitting import FittingConfig, fit_joint
+from nphm_tpu.fitting import FittingConfig, fit_joint, fit_joint_batch
 from nphm_tpu.reconstruction.extract import (
     deform_mesh,
     make_deform_evaluator,
@@ -110,39 +110,67 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
     def_eval = make_deform_evaluator(decoder_expr)
 
     print("############ Starting Fitting ############")
-    for subj in subjects:
-        print(f"Fitting subject {subj}")
-        inds = manager.get_expressions(subj, testing=True)
-        print(f"Expression indices: {inds}")
-        all_obs = [
-            manager.get_single_view_obs(subj, expr_ind, include_back=(k == 0))
-            for k, expr_ind in enumerate(inds)
-        ]
+    fcfg = FittingConfig(
+        n_steps=args.n_steps, step_scale=args.step_scale, seed=args.seed
+    )
+    group_size = max(1, args.batch_subjects)
+    for start in range(0, len(subjects), group_size):
+        group = subjects[start : start + group_size]
+        per_subj = []
+        for subj in group:
+            inds = manager.get_expressions(subj, testing=True)
+            print(f"Fitting subject {subj} (expressions: {inds})")
+            all_obs = [
+                manager.get_single_view_obs(subj, expr_ind, include_back=(k == 0))
+                for k, expr_ind in enumerate(inds)
+            ]
+            per_subj.append((subj, inds, all_obs))
 
-        fcfg = FittingConfig(
-            n_steps=args.n_steps, step_scale=args.step_scale, seed=args.seed
-        )
-        lat_expr, lat_shape, anchors, _hist = fit_joint(
-            decoder_shape, params_shape, decoder_expr, params_expr, all_obs,
-            cfg=fcfg,
-        )
+        if len(per_subj) > 1:
+            # vmapped multi-subject fit: same per-subject recipe, one
+            # compiled program, matmul batch x group_size
+            lat_exprs, lat_shapes, anchors_l, _h = fit_joint_batch(
+                decoder_shape, params_shape, decoder_expr, params_expr,
+                [obs for _, _, obs in per_subj], cfg=fcfg,
+            )
+        else:
+            le, ls, an, _h = fit_joint(
+                decoder_shape, params_shape, decoder_expr, params_expr,
+                per_subj[0][2], cfg=fcfg,
+            )
+            lat_exprs, lat_shapes, anchors_l = [le], [ls], [an]
 
-        mesh_can = extract_mesh(
-            decoder_shape, params_shape, lat_shape, GRID_MIN, GRID_MAX,
-            args.resolution, chunk_size=args.batch_points, evaluator=sdf_eval,
+        for (subj, inds, _), lat_expr, lat_shape, anchors in zip(
+            per_subj, lat_exprs, lat_shapes, anchors_l
+        ):
+            _export_subject(
+                args, out_dir, decoder_shape, params_shape, decoder_expr,
+                params_expr, sdf_eval, def_eval, subj, inds, lat_expr,
+                lat_shape, anchors,
+            )
+
+
+def _export_subject(args, out_dir, decoder_shape, params_shape, decoder_expr,
+                    params_expr, sdf_eval, def_eval, subj, inds, lat_expr,
+                    lat_shape, anchors):
+    from nphm_tpu.reconstruction.extract import extract_mesh
+
+    mesh_can = extract_mesh(
+        decoder_shape, params_shape, lat_shape, GRID_MIN, GRID_MAX,
+        args.resolution, chunk_size=args.batch_points, evaluator=sdf_eval,
+    )
+    for i, expr_ind in enumerate(inds):
+        mesh = deform_mesh(
+            mesh_can, decoder_expr, params_expr, lat_expr[i][None],
+            anchors=anchors, lat_shape=lat_shape, evaluator=def_eval,
         )
-        for i, expr_ind in enumerate(inds):
-            mesh = deform_mesh(
-                mesh_can, decoder_expr, params_expr, lat_expr[i][None],
-                anchors=anchors, lat_shape=lat_shape, evaluator=def_eval,
-            )
-            mesh.export(os.path.join(out_dir, f"{subj}_{expr_ind}.ply"))
-            np.save(os.path.join(out_dir, f"{subj}_{expr_ind}_lat_shape.npy"), lat_shape)
-            np.save(
-                os.path.join(out_dir, f"{subj}_{expr_ind}_lat_expr.npy"),
-                lat_expr[i][None],
-            )
-        print(f"exported {len(inds)} expressions for subject {subj}")
+        mesh.export(os.path.join(out_dir, f"{subj}_{expr_ind}.ply"))
+        np.save(os.path.join(out_dir, f"{subj}_{expr_ind}_lat_shape.npy"), lat_shape)
+        np.save(
+            os.path.join(out_dir, f"{subj}_{expr_ind}_lat_expr.npy"),
+            lat_expr[i][None],
+        )
+    print(f"exported {len(inds)} expressions for subject {subj}")
 
 
 def main():
@@ -158,6 +186,10 @@ def main():
     parser.add_argument("-n_steps", type=int, default=1000)
     parser.add_argument("-step_scale", type=float, default=1.0)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument(
+        "-batch_subjects", type=int, default=1,
+        help="fit this many subjects per vmapped batch (TPU throughput)",
+    )
     args, _ = parser.parse_known_args()
 
     CFG = load_yaml(args.cfg_file)

@@ -173,3 +173,36 @@ def test_fit_joint_recovers_shape_and_translation():
     assert abs(float(lat_s[0, 0]) + 0.5 - r_true) < 0.02
     # expression codes act as -t (warp adds t to canonical to produce posed):
     np.testing.assert_allclose(lat_e, t_true, atol=0.02)
+
+
+def test_fit_joint_batch_matches_single_recipe():
+    """Batched multi-subject fitting solves each subject like fit_joint does."""
+    from nphm_tpu.fitting import fit_joint_batch
+
+    shape = SphereDecoder(r0=0.5, lat_dim=4)
+    warp = SmoothWarp(amp=0.0, lat_dim=3)
+
+    rng = np.random.default_rng(2)
+    r_true = [0.55, 0.45]
+    subjects = []
+    for r in r_true:
+        obs = []
+        for _ in range(3):
+            d = rng.normal(size=(800, 3))
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            obs.append((d * r).astype(np.float32))
+        subjects.append(obs)
+
+    cfg = FittingConfig(
+        n_steps=300, n_obs_per_batch=3, n_points_per_obs=400, log_every=1000
+    )
+    lat_es, lat_ss, _anchors, hist = fit_joint_batch(
+        shape, None, warp, None, subjects,
+        lambdas={"surface": 2.0, "reg_expr": 1e-4, "reg_global": 1e-4},
+        schedule={"lr": {200: 2}},
+        cfg=cfg, verbose=False,
+    )
+    assert hist["loss"].shape == (300, 2)
+    for s, r in enumerate(r_true):
+        assert abs(float(lat_ss[s][0, 0]) + 0.5 - r) < 0.02, (s, lat_ss[s][0, 0])
+        assert lat_es[s].shape == (3, 3)
