@@ -19,6 +19,7 @@ padded once; subsampling draws indices below each cloud's true length.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -117,17 +118,6 @@ def _pad_observations(all_obs: List[np.ndarray]):
     return jnp.asarray(padded), jnp.asarray(lens)
 
 
-def _sample_obs(rng, padded, lens, n_obs_batch, n_points):
-    """Sample observation rows (with replacement) and point subsets."""
-    k1, k2 = jax.random.split(rng)
-    sel = jax.random.randint(k1, (n_obs_batch,), 0, padded.shape[0])
-    idx = jax.random.randint(
-        k2, (n_obs_batch, n_points), 0, lens[sel][:, None]
-    )
-    pts = jnp.take_along_axis(padded[sel], idx[..., None], axis=1)
-    return sel, pts
-
-
 def _masked_mean(values, mask):
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(values * mask) / denom
@@ -159,11 +149,204 @@ def _shape_regularizers(decoder, lat_shape, unobserved):
     return terms
 
 
-def _make_optimizer(lr_arr: jnp.ndarray):
-    return optax.chain(
-        optax.scale_by_adam(),
-        optax.scale_by_schedule(lambda count: -lr_arr[jnp.minimum(count, lr_arr.shape[0] - 1)]),
+
+def _coerce_cfg(cfg: FittingConfig) -> FittingConfig:
+    """Make cfg hashable (tuple-ize sequence fields) for the runner cache."""
+    return dataclasses.replace(
+        cfg,
+        clamp_schedule=tuple(tuple(x) for x in cfg.clamp_schedule),
+        unobserved_anchors=tuple(cfg.unobserved_anchors),
     )
+
+
+@functools.lru_cache(maxsize=64)
+def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
+    """Build-and-cache the compiled joint-fit program.
+
+    Everything data-like (schedules, observations, latents, params) is an
+    ARGUMENT of the jitted function; only decoders/config/loss-key order are
+    closed over.  Repeat fits (e.g. the 23-subject eval protocol, or every
+    re-invocation in a long session) therefore reuse one executable instead
+    of re-tracing and re-compiling a ~20 s scan per call.
+    """
+    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+    use_anchors = decoder_shape.lat_dim_glob is not None
+    adam = optax.scale_by_adam()
+
+    def loss_fn(lat_s, lat_e, params_shape, params_expr, padded, lens, n_obs,
+                lam_row, clamp_j, rng):
+        _, anchors = decoder_shape.apply(
+            params_shape,
+            jnp.zeros((1, 1, 3)),
+            lat_s,
+            training=cfg.training_mode_shape,
+        )
+        k1, k2 = jax.random.split(rng)
+        sel = jax.random.randint(k1, (nb,), 0, n_obs)
+        idx = jax.random.randint(k2, (nb, npp), 0, lens[sel][:, None])
+        obs = jnp.take_along_axis(padded[sel], idx[..., None], axis=1)
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])), lat_e[sel]], axis=-1
+        )
+        anchors_b = (
+            jnp.broadcast_to(anchors, (nb,) + anchors.shape[1:])
+            if use_anchors and anchors is not None
+            else None
+        )
+        xc_opt, result = search(
+            decoder_expr, params_expr, obs, cond, anchors_b,
+            max_steps=cfg.broyden_max_steps,
+            cvg_thresh=cfg.broyden_cvg,
+            dvg_thresh=cfg.broyden_dvg,
+        )
+        xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
+        sdf, _ = decoder_shape.apply(
+            params_shape,
+            xc,
+            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
+            training=cfg.training_mode_shape,
+        )
+        l = jnp.abs(sdf[..., 0])
+        mask = jnp.logical_and(result["valid_ids"], l < clamp_j).astype(l.dtype)
+        terms = {"surface": _masked_mean(l, mask)}
+        terms["reg_expr"] = jnp.mean(sq_norm(lat_e[sel]))
+        terms.update(
+            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
+        )
+        loss = 0.0
+        for i, k in enumerate(lam_keys):
+            loss = loss + lam_row[i] * terms[k]
+        aux = dict(terms)
+        aux["n_valid"] = jnp.sum(result["valid_ids"].astype(jnp.float32))
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def run(lat_shape, lat_expr, os_state, oe_state, params_shape, params_expr,
+            padded, lens, n_obs, base_key, lr_arr, lam_mat, clamp_arr):
+        def step(carry, j):
+            lat_s, lat_e, os_state, oe_state = carry
+            rng = jax.random.fold_in(base_key, j)
+            (loss, aux), (g_s, g_e) = grad_fn(
+                lat_s, lat_e, params_shape, params_expr, padded, lens, n_obs,
+                lam_mat[:, j], clamp_arr[j], rng,
+            )
+            lr = lr_arr[j]
+            upd_s, os_state = adam.update(g_s, os_state, lat_s)
+            lat_s = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, lat_s, upd_s
+            )
+            upd_e, oe_state = adam.update(g_e, oe_state, lat_e)
+            lat_e = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, lat_e, upd_e
+            )
+            aux["loss"] = loss
+            return (lat_s, lat_e, os_state, oe_state), aux
+
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jax.lax.scan(
+                step,
+                (lat_shape, lat_expr, os_state, oe_state),
+                jnp.arange(lr_arr.shape[0]),
+            )
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
+    """Compiled multi-subject (vmapped) joint-fit program, cached like
+    ``_joint_runner``."""
+    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+    use_anchors = decoder_shape.lat_dim_glob is not None
+    adam = optax.scale_by_adam()
+
+    def subject_loss(lat_s, lat_e, params_shape, params_expr, s_padded,
+                     s_lens, s_n_obs, lam_row, clamp_j, rng):
+        _, anchors = decoder_shape.apply(
+            params_shape,
+            jnp.zeros((1, 1, 3)),
+            lat_s,
+            training=cfg.training_mode_shape,
+        )
+        k1, k2 = jax.random.split(rng)
+        sel = jax.random.randint(k1, (nb,), 0, s_n_obs)
+        idx = jax.random.randint(k2, (nb, npp), 0, s_lens[sel][:, None])
+        obs = jnp.take_along_axis(s_padded[sel], idx[..., None], axis=1)
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])), lat_e[sel]], axis=-1
+        )
+        anchors_b = (
+            jnp.broadcast_to(anchors, (nb,) + anchors.shape[1:])
+            if use_anchors and anchors is not None
+            else None
+        )
+        xc_opt, result = search(
+            decoder_expr, params_expr, obs, cond, anchors_b,
+            max_steps=cfg.broyden_max_steps,
+            cvg_thresh=cfg.broyden_cvg,
+            dvg_thresh=cfg.broyden_dvg,
+        )
+        xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
+        sdf, _ = decoder_shape.apply(
+            params_shape,
+            xc,
+            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
+            training=cfg.training_mode_shape,
+        )
+        l = jnp.abs(sdf[..., 0])
+        mask = jnp.logical_and(result["valid_ids"], l < clamp_j).astype(l.dtype)
+        terms = {"surface": _masked_mean(l, mask)}
+        terms["reg_expr"] = jnp.mean(sq_norm(lat_e[sel]))
+        terms.update(
+            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
+        )
+        loss = 0.0
+        for i, k in enumerate(lam_keys):
+            loss = loss + lam_row[i] * terms[k]
+        return loss, terms
+
+    grad_fn = jax.value_and_grad(subject_loss, argnums=(0, 1), has_aux=True)
+
+    def run(lat_shape, lat_expr, os_state, oe_state, params_shape, params_expr,
+            padded, lens, n_obs, base_key, lr_arr, lam_mat, clamp_arr):
+        S = lat_shape.shape[0]
+
+        def step(carry, j):
+            lat_s, lat_e, os_state, oe_state = carry
+            rngs = jax.vmap(
+                lambda s: jax.random.fold_in(jax.random.fold_in(base_key, j), s)
+            )(jnp.arange(S))
+            lr = lr_arr[j]
+
+            def per_subject(lat_s_s, lat_e_s, pad_s, len_s, n_s, rng_s, os_s, oe_s):
+                (loss, _terms), (g_s, g_e) = grad_fn(
+                    lat_s_s, lat_e_s, params_shape, params_expr, pad_s, len_s,
+                    n_s, lam_mat[:, j], clamp_arr[j], rng_s,
+                )
+                upd_s, os_s = adam.update(g_s, os_s, lat_s_s)
+                upd_e, oe_s = adam.update(g_e, oe_s, lat_e_s)
+                return (
+                    lat_s_s - lr * upd_s,
+                    lat_e_s - lr * upd_e,
+                    os_s,
+                    oe_s,
+                    loss,
+                )
+
+            lat_s, lat_e, os_state, oe_state, losses = jax.vmap(per_subject)(
+                lat_s, lat_e, padded, lens, n_obs, rngs, os_state, oe_state
+            )
+            return (lat_s, lat_e, os_state, oe_state), losses
+
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jax.lax.scan(
+                step,
+                (lat_shape, lat_expr, os_state, oe_state),
+                jnp.arange(lr_arr.shape[0]),
+            )
+
+    return jax.jit(run)
 
 
 def fit_joint(
@@ -183,26 +366,42 @@ def fit_joint(
 
     Returns (lat_expr [n_obs, E], lat_shape [1, D], anchors, history dict).
     """
+    cfg = _coerce_cfg(cfg)
     lambdas = dict(lambdas or default_joint_lambdas())
     schedule = schedule or default_joint_schedule()
     total = cfg.total_steps
+    lam_keys = tuple(sorted(lambdas))
 
     lr_arr = jnp.asarray(
         _scheduled_array(cfg.lr * cfg.lr_scale, schedule.get("lr", {}), total, cfg.step_scale)
     )
-    lam_arrs = {
-        k: jnp.asarray(_scheduled_array(v, schedule.get(k, {}), total, cfg.step_scale))
-        for k, v in lambdas.items()
-    }
+    lam_mat = jnp.stack(
+        [
+            jnp.asarray(
+                _scheduled_array(
+                    lambdas[k], schedule.get(k, {}), total, cfg.step_scale
+                )
+            )
+            for k in lam_keys
+        ]
+    )
     clamp_arr = jnp.asarray(_clamp_array(cfg.clamp_schedule, total, cfg.step_scale))
 
     padded, lens = _pad_observations(all_obs)
     n_obs = len(all_obs)
+    # pad shapes to stable granules so repeat fits hit the runner cache
+    o_pad = -(-n_obs // 4) * 4
+    p_pad = -(-padded.shape[1] // 512) * 512
+    padded = jnp.pad(padded, ((0, o_pad - n_obs), (0, p_pad - padded.shape[1]), (0, 0)))
+    lens = jnp.pad(lens, (0, o_pad - n_obs), constant_values=1)
 
     lat_expr = (
-        jnp.zeros((n_obs, decoder_expr.lat_dim), jnp.float32)
+        jnp.zeros((o_pad, decoder_expr.lat_dim), jnp.float32)
         if lat_expr_init is None
-        else jnp.asarray(lat_expr_init, jnp.float32).reshape(n_obs, -1)
+        else jnp.pad(
+            jnp.asarray(lat_expr_init, jnp.float32).reshape(n_obs, -1),
+            ((0, o_pad - n_obs), (0, 0)),
+        )
     )
     lat_shape = (
         jnp.zeros((1, decoder_shape.lat_dim), jnp.float32)
@@ -210,90 +409,21 @@ def fit_joint(
         else jnp.asarray(lat_shape_init, jnp.float32).reshape(1, -1)
     )
 
-    opt_shape = _make_optimizer(lr_arr)
-    opt_expr = _make_optimizer(lr_arr)
-    opt_shape_state = opt_shape.init(lat_shape)
-    opt_expr_state = opt_expr.init(lat_expr)
-
+    adam = optax.scale_by_adam()
+    opt_shape_state = adam.init(lat_shape)
+    opt_expr_state = adam.init(lat_expr)
     base_key = jax.random.PRNGKey(cfg.seed)
-    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
-    use_anchors = decoder_shape.lat_dim_glob is not None
 
-    def loss_fn(lat_s, lat_e, j, rng):
-        _, anchors = decoder_shape.apply(
-            params_shape,
-            jnp.zeros((1, 1, 3)),
-            lat_s,
-            training=cfg.training_mode_shape,
-        )
-        sel, obs = _sample_obs(rng, padded, lens, nb, npp)
-        cond = jnp.concatenate(
-            [jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])), lat_e[sel]], axis=-1
-        )
-        anchors_b = (
-            jnp.broadcast_to(anchors, (nb,) + anchors.shape[1:])
-            if use_anchors and anchors is not None
-            else None
-        )
-
-        xc_opt, result = search(
-            decoder_expr,
-            params_expr,
-            obs,
-            cond,
-            anchors_b,
-            max_steps=cfg.broyden_max_steps,
-            cvg_thresh=cfg.broyden_cvg,
-            dvg_thresh=cfg.broyden_dvg,
-        )
-        xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
-
-        sdf, _ = decoder_shape.apply(
-            params_shape,
-            xc,
-            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
-            training=cfg.training_mode_shape,
-        )
-        l = jnp.abs(sdf[..., 0])
-        mask = jnp.logical_and(result["valid_ids"], l < clamp_arr[j]).astype(l.dtype)
-
-        terms = {"surface": _masked_mean(l, mask)}
-        terms["reg_expr"] = jnp.mean(sq_norm(lat_e[sel]))
-        terms.update(
-            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
-        )
-
-        loss = 0.0
-        for k in lambdas:
-            loss = loss + lam_arrs[k][j] * terms[k]
-        aux = dict(terms)
-        aux["n_valid"] = jnp.sum(result["valid_ids"].astype(jnp.float32))
-        return loss, aux
-
-    def step(carry, j):
-        lat_s, lat_e, os_state, oe_state = carry
-        rng = jax.random.fold_in(base_key, j)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-            lat_s, lat_e, j, rng
-        )
-        g_s, g_e = grads
-        upd_s, os_state = opt_shape.update(g_s, os_state, lat_s)
-        lat_s = optax.apply_updates(lat_s, upd_s)
-        upd_e, oe_state = opt_expr.update(g_e, oe_state, lat_e)
-        lat_e = optax.apply_updates(lat_e, upd_e)
-        aux["loss"] = loss
-        return (lat_s, lat_e, os_state, oe_state), aux
-
-    @jax.jit
-    def run(carry):
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            return jax.lax.scan(step, carry, jnp.arange(total))
+    run = _joint_runner(decoder_shape, decoder_expr, cfg, lam_keys)
 
     t0 = time.time()
     (lat_shape, lat_expr, _, _), history = run(
-        (lat_shape, lat_expr, opt_shape_state, opt_expr_state)
+        lat_shape, lat_expr, opt_shape_state, opt_expr_state,
+        params_shape, params_expr, padded, lens, n_obs, base_key,
+        lr_arr, lam_mat, clamp_arr,
     )
     history = {k: np.asarray(v) for k, v in history.items()}
+    lat_expr = lat_expr[:n_obs]
     elapsed = time.time() - t0
     if verbose:
         for j in range(0, total, max(1, cfg.log_every)):
@@ -337,125 +467,56 @@ def fit_joint_batch(
     subjects_obs: one observation list per subject (ragged sizes fine).
     Returns per-subject lists: (lat_exprs, lat_shapes, anchors, history).
     """
+    cfg = _coerce_cfg(cfg)
     lambdas = dict(lambdas or default_joint_lambdas())
     schedule = schedule or default_joint_schedule()
     total = cfg.total_steps
     S = len(subjects_obs)
+    lam_keys = tuple(sorted(lambdas))
 
     lr_arr = jnp.asarray(
         _scheduled_array(cfg.lr * cfg.lr_scale, schedule.get("lr", {}), total, cfg.step_scale)
     )
-    lam_arrs = {
-        k: jnp.asarray(_scheduled_array(v, schedule.get(k, {}), total, cfg.step_scale))
-        for k, v in lambdas.items()
-    }
+    lam_mat = jnp.stack(
+        [
+            jnp.asarray(
+                _scheduled_array(
+                    lambdas[k], schedule.get(k, {}), total, cfg.step_scale
+                )
+            )
+            for k in lam_keys
+        ]
+    )
     clamp_arr = jnp.asarray(_clamp_array(cfg.clamp_schedule, total, cfg.step_scale))
 
     n_obs = np.asarray([len(o) for o in subjects_obs], np.int32)
-    o_max = int(n_obs.max())
-    p_max = int(max(len(o) for obs in subjects_obs for o in obs))
+    o_max = -(-int(n_obs.max()) // 4) * 4
+    p_max = -(-int(max(len(o) for obs in subjects_obs for o in obs)) // 512) * 512
     padded = np.zeros((S, o_max, p_max, 3), np.float32)
     lens = np.ones((S, o_max), np.int32)  # 1 (not 0) so randint stays valid
-    for s, obs in enumerate(subjects_obs):
+    for s_i, obs in enumerate(subjects_obs):
         for i, o in enumerate(obs):
             o = np.asarray(o, np.float32)[:, :3]
-            padded[s, i, : len(o)] = o
-            lens[s, i] = len(o)
+            padded[s_i, i, : len(o)] = o
+            lens[s_i, i] = len(o)
     padded, lens = jnp.asarray(padded), jnp.asarray(lens)
     n_obs_j = jnp.asarray(n_obs)
 
     lat_expr = jnp.zeros((S, o_max, decoder_expr.lat_dim), jnp.float32)
     lat_shape = jnp.zeros((S, 1, decoder_shape.lat_dim), jnp.float32)
 
-    opt_shape = _make_optimizer(lr_arr)
-    opt_expr = _make_optimizer(lr_arr)
-    opt_shape_state = jax.vmap(opt_shape.init)(lat_shape)
-    opt_expr_state = jax.vmap(opt_expr.init)(lat_expr)
-
+    adam = optax.scale_by_adam()
+    opt_shape_state = jax.vmap(adam.init)(lat_shape)
+    opt_expr_state = jax.vmap(adam.init)(lat_expr)
     base_key = jax.random.PRNGKey(cfg.seed)
-    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
-    use_anchors = decoder_shape.lat_dim_glob is not None
 
-    def subject_loss(lat_s, lat_e, s_padded, s_lens, s_n_obs, j, rng):
-        _, anchors = decoder_shape.apply(
-            params_shape,
-            jnp.zeros((1, 1, 3)),
-            lat_s,
-            training=cfg.training_mode_shape,
-        )
-        k1, k2 = jax.random.split(rng)
-        sel = jax.random.randint(k1, (nb,), 0, s_n_obs)
-        idx = jax.random.randint(k2, (nb, npp), 0, s_lens[sel][:, None])
-        obs = jnp.take_along_axis(s_padded[sel], idx[..., None], axis=1)
-
-        cond = jnp.concatenate(
-            [jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])), lat_e[sel]], axis=-1
-        )
-        anchors_b = (
-            jnp.broadcast_to(anchors, (nb,) + anchors.shape[1:])
-            if use_anchors and anchors is not None
-            else None
-        )
-        xc_opt, result = search(
-            decoder_expr, params_expr, obs, cond, anchors_b,
-            max_steps=cfg.broyden_max_steps,
-            cvg_thresh=cfg.broyden_cvg,
-            dvg_thresh=cfg.broyden_dvg,
-        )
-        xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
-        sdf, _ = decoder_shape.apply(
-            params_shape,
-            xc,
-            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
-            training=cfg.training_mode_shape,
-        )
-        l = jnp.abs(sdf[..., 0])
-        mask = jnp.logical_and(result["valid_ids"], l < clamp_arr[j]).astype(l.dtype)
-        terms = {"surface": _masked_mean(l, mask)}
-        terms["reg_expr"] = jnp.mean(sq_norm(lat_e[sel]))
-        terms.update(
-            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
-        )
-        loss = 0.0
-        for k in lambdas:
-            loss = loss + lam_arrs[k][j] * terms[k]
-        return loss, terms
-
-    grad_fn = jax.value_and_grad(subject_loss, argnums=(0, 1), has_aux=True)
-
-    def step(carry, j):
-        lat_s, lat_e, os_state, oe_state = carry
-        rngs = jax.vmap(
-            lambda s: jax.random.fold_in(jax.random.fold_in(base_key, j), s)
-        )(jnp.arange(S))
-
-        def per_subject(lat_s_s, lat_e_s, pad_s, len_s, n_s, rng_s, os_s, oe_s):
-            (loss, terms), (g_s, g_e) = grad_fn(
-                lat_s_s, lat_e_s, pad_s, len_s, n_s, j, rng_s
-            )
-            upd_s, os_s = opt_shape.update(g_s, os_s, lat_s_s)
-            upd_e, oe_s = opt_expr.update(g_e, oe_s, lat_e_s)
-            return (
-                optax.apply_updates(lat_s_s, upd_s),
-                optax.apply_updates(lat_e_s, upd_e),
-                os_s,
-                oe_s,
-                loss,
-            )
-
-        lat_s, lat_e, os_state, oe_state, losses = jax.vmap(per_subject)(
-            lat_s, lat_e, padded, lens, n_obs_j, rngs, os_state, oe_state
-        )
-        return (lat_s, lat_e, os_state, oe_state), losses
-
-    @jax.jit
-    def run(carry):
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            return jax.lax.scan(step, carry, jnp.arange(total))
+    run = _joint_batch_runner(decoder_shape, decoder_expr, cfg, lam_keys)
 
     t0 = time.time()
     (lat_shape, lat_expr, _, _), losses = run(
-        (lat_shape, lat_expr, opt_shape_state, opt_expr_state)
+        lat_shape, lat_expr, opt_shape_state, opt_expr_state,
+        params_shape, params_expr, padded, lens, n_obs_j, base_key,
+        lr_arr, lam_mat, clamp_arr,
     )
     losses = np.asarray(losses)
     elapsed = time.time() - t0
@@ -476,6 +537,59 @@ def fit_joint_batch(
     )
     history = {"loss": losses, "elapsed_s": elapsed}
     return lat_exprs, lat_shapes, anchors_list, history
+
+
+
+@functools.lru_cache(maxsize=64)
+def _identity_runner(decoder_shape, cfg: FittingConfig, lam_keys):
+    """Compiled identity-only fit program, cached like ``_joint_runner``."""
+    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+
+    def loss_fn(lat_s, params_shape, padded, lens, n_obs, lam_row, clamp_j, rng):
+        k1, k2 = jax.random.split(rng)
+        sel = jax.random.randint(k1, (nb,), 0, n_obs)
+        idx = jax.random.randint(k2, (nb, npp), 0, lens[sel][:, None])
+        obs = jnp.take_along_axis(padded[sel], idx[..., None], axis=1)
+        sdf, _ = decoder_shape.apply(
+            params_shape,
+            obs,
+            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
+            training=cfg.training_mode_shape,
+        )
+        l = jnp.abs(sdf[..., 0])
+        mask = (l < clamp_j).astype(l.dtype)
+        terms = {"surface": _masked_mean(l, mask)}
+        terms.update(
+            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
+        )
+        loss = 0.0
+        for i, k in enumerate(lam_keys):
+            loss = loss + lam_row[i] * terms[k]
+        return loss, terms
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    adam = optax.scale_by_adam()
+
+    def run(lat_shape, opt_state, params_shape, padded, lens, n_obs, base_key,
+            lr_arr, lam_mat, clamp_arr):
+        def step(carry, j):
+            lat_s, o_state = carry
+            rng = jax.random.fold_in(base_key, j)
+            (loss, aux), g = grad_fn(
+                lat_s, params_shape, padded, lens, n_obs,
+                lam_mat[:, j], clamp_arr[j], rng,
+            )
+            upd, o_state = adam.update(g, o_state, lat_s)
+            lat_s = lat_s - lr_arr[j] * upd
+            aux["loss"] = loss
+            return (lat_s, o_state), aux
+
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jax.lax.scan(
+                step, (lat_shape, opt_state), jnp.arange(lr_arr.shape[0])
+            )
+
+    return jax.jit(run)
 
 
 def fit_identity(
@@ -499,64 +613,48 @@ def fit_identity(
             "symm_dist": 5.0,
         }
     )
+    cfg = _coerce_cfg(cfg)
     schedule = schedule or default_joint_schedule()
     total = cfg.total_steps
+    lam_keys = tuple(sorted(lambdas))
 
     lr_arr = jnp.asarray(
         _scheduled_array(cfg.lr * cfg.lr_scale, schedule.get("lr", {}), total, cfg.step_scale)
     )
-    lam_arrs = {
-        k: jnp.asarray(_scheduled_array(v, schedule.get(k, {}), total, cfg.step_scale))
-        for k, v in lambdas.items()
-    }
+    lam_mat = jnp.stack(
+        [
+            jnp.asarray(
+                _scheduled_array(
+                    lambdas[k], schedule.get(k, {}), total, cfg.step_scale
+                )
+            )
+            for k in lam_keys
+        ]
+    )
     clamp_arr = jnp.asarray(_clamp_array(cfg.clamp_schedule, total, cfg.step_scale))
 
     padded, lens = _pad_observations(all_obs)
+    n_obs = len(all_obs)
+    o_pad = -(-n_obs // 4) * 4
+    p_pad = -(-padded.shape[1] // 512) * 512
+    padded = jnp.pad(padded, ((0, o_pad - n_obs), (0, p_pad - padded.shape[1]), (0, 0)))
+    lens = jnp.pad(lens, (0, o_pad - n_obs), constant_values=1)
     lat_shape = (
         jnp.zeros((1, decoder_shape.lat_dim), jnp.float32)
         if lat_shape_init is None
         else jnp.asarray(lat_shape_init, jnp.float32).reshape(1, -1)
     )
-    opt = _make_optimizer(lr_arr)
-    opt_state = opt.init(lat_shape)
+    adam = optax.scale_by_adam()
+    opt_state = adam.init(lat_shape)
     base_key = jax.random.PRNGKey(cfg.seed)
-    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
 
-    def loss_fn(lat_s, j, rng):
-        _sel, obs = _sample_obs(rng, padded, lens, nb, npp)
-        sdf, _ = decoder_shape.apply(
-            params_shape,
-            obs,
-            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
-            training=cfg.training_mode_shape,
-        )
-        l = jnp.abs(sdf[..., 0])
-        mask = (l < clamp_arr[j]).astype(l.dtype)
-        terms = {"surface": _masked_mean(l, mask)}
-        terms.update(
-            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
-        )
-        loss = 0.0
-        for k in lambdas:
-            loss = loss + lam_arrs[k][j] * terms[k]
-        return loss, terms
-
-    def step(carry, j):
-        lat_s, o_state = carry
-        rng = jax.random.fold_in(base_key, j)
-        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(lat_s, j, rng)
-        upd, o_state = opt.update(g, o_state, lat_s)
-        lat_s = optax.apply_updates(lat_s, upd)
-        aux["loss"] = loss
-        return (lat_s, o_state), aux
-
-    @jax.jit
-    def run(carry):
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            return jax.lax.scan(step, carry, jnp.arange(total))
+    run = _identity_runner(decoder_shape, cfg, lam_keys)
 
     t0 = time.time()
-    (lat_shape, _), history = run((lat_shape, opt_state))
+    (lat_shape, _), history = run(
+        lat_shape, opt_state, params_shape, padded, lens, n_obs, base_key,
+        lr_arr, lam_mat, clamp_arr,
+    )
     history = {k: np.asarray(v) for k, v in history.items()}
     elapsed = time.time() - t0
     if verbose:
