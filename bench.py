@@ -127,14 +127,12 @@ def main():
         p_expr = expr.init(jax.random.PRNGKey(2))
         rng = np.random.default_rng(0)
         obs = [rng.normal(size=(2500, 3)).astype(np.float32) * 0.3 for _ in range(20)]
-        fc = FittingConfig(n_steps=50, log_every=1000)
+        n_fit = int(os.environ.get("BENCH_FIT_STEPS", 200))
+        fc = FittingConfig(n_steps=n_fit, log_every=100000)
         fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)  # compile
-        fc = FittingConfig(n_steps=100, log_every=1000)
         t0 = time.perf_counter()
-        _, _, _, hist = fit_joint(
-            decoder, params, expr, p_expr, obs, cfg=fc, verbose=False
-        )
-        extra["fit_iters_per_s"] = round(100 / (time.perf_counter() - t0), 2)
+        fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)
+        extra["fit_iters_per_s"] = round(n_fit / (time.perf_counter() - t0), 2)
 
     print(
         json.dumps(

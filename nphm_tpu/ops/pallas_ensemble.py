@@ -53,7 +53,7 @@ from nphm_tpu.models.ensemble import NPHMConfig, _split_cond, predict_anchors
 
 DEFAULT_TILE = 1024  # 1-D f32 output tiling is T(1024); tile must be a multiple
 _ACTIVATION = "softplus"  # private ablation hook ("relu" for perf probes)
-DEFAULT_GROUP = 13  # members per grid step (39 = 3 steps); amortizes step cost
+DEFAULT_GROUP = 4  # members per grid step (best measured; see commit log)
 # Skip a member when its blend weight is < eps for all points in a tile.
 # The far-field error bound is n_loc*eps relative to the 1e-6 normalization
 # floor, so eps=1e-12 keeps the worst-case SDF error below ~4e-5*|sdf|.
@@ -158,7 +158,7 @@ def prepare_pallas_operands(
     return operands, anchors
 
 
-def _make_kernel(cfg: NPHMConfig, tile: int, dtype, cull_r2: float, group: int):
+def _make_kernel(cfg: NPHMConfig, tile: int, dtype, group: int):
     shapes, skip_in = cfg.layer_shapes
     n_layers = len(shapes)
     n_groups = -(-cfg.n_loc // group)
@@ -308,7 +308,7 @@ def nphm_sdf_pallas(
     grid_t = xyz.shape[0] // tile
 
     operands, anchors = prepare_pallas_operands(params, cfg, lat, dtype, group)
-    kernel = _make_kernel(cfg, tile, dtype, cull_r2, group)
+    kernel = _make_kernel(cfg, tile, dtype, group)
     n_groups = -(-K // group)
     Kp = n_groups * group
 
