@@ -54,6 +54,7 @@ def identity_sdf_loss(
     lat: jnp.ndarray,
     *,
     training: bool = True,
+    remat: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """IGR identity-SDF loss dict.
 
@@ -61,6 +62,12 @@ def identity_sdf_loss(
     normals_non_face, sup_grad_far [B,Fa,3], sup_grad_near [B,Ne,3],
     gt_anchors [B,K,3] (ensemble decoder only).
     lat: [B, lat_dim] (already gathered + renormed rows).
+
+    remat: rematerialize the decoder forward in the backward pass.  The
+    eikonal term makes the step a double backprop; at the reference batch
+    (32 x 2125 points x 40 ensemble members) the saved activations exceed a
+    v5e's 16 GB HBM (measured 19 GB) — checkpointing trades one extra
+    forward for fitting comfortably.
     """
     pf, pn = batch["points_face"], batch["points_non_face"]
     far, near = batch["sup_grad_far"], batch["sup_grad_near"]
@@ -71,6 +78,9 @@ def identity_sdf_loss(
     def field(x):
         sdf, _ = decoder.apply(params, x, lat, training=training)
         return sdf
+
+    if remat:
+        field = jax.checkpoint(field)
 
     sdf = field(pts)
     grads = spatial_gradient(field, pts)
