@@ -114,6 +114,60 @@ def _interp_local(q, anchors, loc_lat, var=0.1**2):
     return jnp.einsum("bnk,bkc->bnc", w, loc_lat)
 
 
+def conditioning_code(params, cfg: DeformationConfig, lat, anchors=None):
+    """Row-constant conditioning code for the trunk (eval mode, no noise).
+
+    lat: [lat_dim_shape_full + lat_dim_expr] (single row); anchors [K, 3].
+    Valid for every mode except 'interpolate', whose conditioning is
+    per-point.  Used by the fused eval kernel (ops/pallas_mlp.py).
+    """
+    if cfg.mode == "interpolate":
+        raise ValueError("'interpolate' conditioning is per-point")
+    lat = jnp.reshape(lat, (1, -1))
+    anchors_b = None if anchors is None else jnp.reshape(anchors, (1, -1, 3))
+    cond = _conditioning(params, cfg, lat, anchors_b, training=False, rng=None)
+    return cond[0]
+
+
+def _conditioning(params, cfg, lat, anchors, *, training, rng):
+    B = lat.shape[0]
+    E = cfg.lat_dim_expr
+    z_ex = lat[..., -E:]
+    if cfg.mode == "glob_only":
+        return jnp.concatenate([lat[..., : cfg.lat_dim_glob_shape], z_ex], axis=-1)
+    if cfg.mode == "expr_only":
+        return z_ex
+    if cfg.mode == "compress":
+        concat = jnp.concatenate(
+            [lat[..., :-E], anchors.reshape(B, -1)], axis=-1
+        )  # [B, 1461]
+        compressed = linear(params["compressor"], concat)  # [B, 32]
+        if training:
+            assert rng is not None, "compress-mode training needs an rng for noise"
+            compressed = compressed + (
+                jax.random.normal(rng, compressed.shape, compressed.dtype)
+                * cfg.noise_scale
+            )
+        return jnp.concatenate([compressed, z_ex], axis=-1)
+    if cfg.mode == "GNN":
+        G, L = cfg.lat_dim_glob_shape, cfg.lat_dim_loc_shape
+        pe = linear(
+            params["pos_enc"][1], jax.nn.relu(linear(params["pos_enc"][0], anchors))
+        )
+        loc = lat[..., G : G + cfg.n_loc * L].reshape(B, cfg.n_loc, L)
+        local = linear(
+            params["local_combiner"][1],
+            jax.nn.relu(linear(params["local_combiner"][0], pe + loc)),
+        )
+        concat = jnp.concatenate([lat[..., :G], local.reshape(B, -1)], axis=-1)
+        combined = linear(
+            params["global_combiner"][1],
+            jax.nn.relu(linear(params["global_combiner"][0], concat)),
+        )
+        return jnp.concatenate([combined, z_ex], axis=-1)
+    raise ValueError(f"Unknown deformation mode: {cfg.mode}")
+
+
 def apply_deformation(
     params,
     cfg: DeformationConfig,
@@ -135,47 +189,17 @@ def apply_deformation(
     E = cfg.lat_dim_expr
     z_ex = lat[..., -E:]
 
-    if cfg.mode == "glob_only":
-        cond = jnp.concatenate([lat[..., : cfg.lat_dim_glob_shape], z_ex], axis=-1)
-    elif cfg.mode == "expr_only":
-        cond = z_ex
-    elif cfg.mode == "compress":
-        concat = jnp.concatenate(
-            [lat[..., :-E], anchors.reshape(B, -1)], axis=-1
-        )  # [B, 1461]
-        compressed = linear(params["compressor"], concat)  # [B, 32]
-        if training:
-            assert rng is not None, "compress-mode training needs an rng for noise"
-            compressed = compressed + (
-                jax.random.normal(rng, compressed.shape, compressed.dtype)
-                * cfg.noise_scale
-            )
-        cond = jnp.concatenate([compressed, z_ex], axis=-1)
-    elif cfg.mode == "interpolate":
+    if cfg.mode != "interpolate":
+        cond = _conditioning(
+            params, cfg, lat, anchors, training=training, rng=rng
+        )
+    else:  # 'interpolate': per-point conditioning
         G, L = cfg.lat_dim_glob_shape, cfg.lat_dim_loc_shape
         loc = lat[..., G : G + cfg.n_loc * L].reshape(B, cfg.n_loc, L)
         interp = _interp_local(xyz[..., :3], anchors, loc)  # [B, N, L]
         glob = jnp.broadcast_to(lat[:, None, :G], (B, N, G))
         z_ex_pp = jnp.broadcast_to(z_ex[:, None, :], (B, N, E))
         cond = jnp.concatenate([glob, interp, z_ex_pp], axis=-1)  # per-point
-    elif cfg.mode == "GNN":
-        G, L = cfg.lat_dim_glob_shape, cfg.lat_dim_loc_shape
-        pe = linear(
-            params["pos_enc"][1], jax.nn.relu(linear(params["pos_enc"][0], anchors))
-        )
-        loc = lat[..., G : G + cfg.n_loc * L].reshape(B, cfg.n_loc, L)
-        local = linear(
-            params["local_combiner"][1],
-            jax.nn.relu(linear(params["local_combiner"][0], pe + loc)),
-        )
-        concat = jnp.concatenate([lat[..., :G], local.reshape(B, -1)], axis=-1)
-        combined = linear(
-            params["global_combiner"][1],
-            jax.nn.relu(linear(params["global_combiner"][0], concat)),
-        )
-        cond = jnp.concatenate([combined, z_ex], axis=-1)
-    else:
-        raise ValueError(f"Unknown deformation mode: {cfg.mode}")
 
     pred = apply_deepsdf(params["trunk"], cfg.trunk_cfg, xyz, cond)
     return pred[..., :3], pred[..., -1:]

@@ -188,25 +188,44 @@ def deform_mesh(
 ) -> TriMesh:
     """Forward-warp mesh vertices through the deformation field
     (reference reconstruction.py:59-88)."""
-    if evaluator is None:
-        evaluator = make_deform_evaluator(deformer, chunk_size, device_mesh)
     lat = _as_lat(lat_expr)
     if lat_shape is not None:
         lat = jnp.concatenate([_as_lat(lat_shape), lat], axis=-1)
+    anchors_j = (
+        None if anchors is None else jnp.asarray(anchors).reshape(-1, 3)
+    )
+    if evaluator is None and device_mesh is None and _pallas_available(deformer):
+        from nphm_tpu.ops.pallas_mlp import deformation_pallas
+
+        delta = np.asarray(
+            deformation_pallas(
+                params, deformer.cfg,
+                jnp.asarray(mesh.vertices, jnp.float32), lat[0], anchors_j,
+            )
+        )
+        return TriMesh(mesh.vertices + delta, mesh.faces.copy())
+    if evaluator is None:
+        evaluator = make_deform_evaluator(deformer, chunk_size, device_mesh)
     ctx = {
         "params": params,
         "lat": lat,
-        "anchors": None if anchors is None else jnp.asarray(anchors).reshape(1, -1, 3),
+        "anchors": None if anchors_j is None else anchors_j[None],
     }
     delta = evaluator(ctx, mesh.vertices)
     return TriMesh(mesh.vertices + delta, mesh.faces.copy())
 
 
 def _pallas_available(decoder) -> bool:
-    return (
-        getattr(decoder, "kind", None) == "nphm"
-        and jax.default_backend() == "tpu"
-    )
+    kind = getattr(decoder, "kind", None)
+    if jax.default_backend() != "tpu":
+        return False
+    if kind == "nphm":
+        return True
+    if kind == "npm":
+        return True
+    if kind == "deformation":
+        return getattr(decoder.cfg, "mode", None) != "interpolate"
+    return False
 
 
 def pallas_grid_logits(
@@ -224,18 +243,21 @@ def pallas_grid_logits(
     (member culling) and returned in the natural x-major order; only the
     final [res^3] logits cross the host boundary.
     """
-    from nphm_tpu.ops.pallas_ensemble import nphm_grid_sdf_pallas
-
     lat = _as_lat(encoding)[0]
-    out = nphm_grid_sdf_pallas(
-        params,
-        decoder.cfg,
-        lat,
-        tuple(float(x) for x in mini),
-        tuple(float(x) for x in maxi),
-        int(resolution),
-        **kernel_kw,
-    )
+    mini = tuple(float(x) for x in mini)
+    maxi = tuple(float(x) for x in maxi)
+    if decoder.kind == "npm":
+        from nphm_tpu.ops.pallas_mlp import npm_grid_sdf_pallas
+
+        out = npm_grid_sdf_pallas(
+            params, decoder.cfg, lat, mini, maxi, int(resolution), **kernel_kw
+        )
+    else:
+        from nphm_tpu.ops.pallas_ensemble import nphm_grid_sdf_pallas
+
+        out = nphm_grid_sdf_pallas(
+            params, decoder.cfg, lat, mini, maxi, int(resolution), **kernel_kw
+        )
     return np.asarray(out)
 
 
@@ -288,18 +310,28 @@ def pallas_backward_grid_logits(
         n = res**3
         pts = _brick_points(axes, jnp.arange(n, dtype=jnp.int32), res, brick, tile)
         if lat_e is not None:
-            pad = (-n) % chunk_size
-            p = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)], 0)
+            if getattr(decoder_expr.cfg, "mode", None) != "interpolate":
+                # fused trunk kernel: no [N, hidden] activations in HBM
+                from nphm_tpu.ops.pallas_mlp import deformation_pallas
 
-            def warp(chunk):
-                delta, _ = decoder_expr.apply(
-                    params_expr, chunk[None], lat_e, anchors_j
+                pts = pts + deformation_pallas(
+                    params_expr, decoder_expr.cfg, pts, lat_e[0],
+                    None if anchors_j is None else anchors_j[0],
+                    interpret=kernel_kw.get("interpret"),
                 )
-                return chunk + delta[0]
+            else:
+                pad = (-n) % chunk_size
+                p = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)], 0)
 
-            pts = jax.lax.map(
-                warp, p.reshape(-1, chunk_size, 3)
-            ).reshape(-1, 3)[:n]
+                def warp(chunk):
+                    delta, _ = decoder_expr.apply(
+                        params_expr, chunk[None], lat_e, anchors_j
+                    )
+                    return chunk + delta[0]
+
+                pts = jax.lax.map(
+                    warp, p.reshape(-1, chunk_size, 3)
+                ).reshape(-1, 3)[:n]
         sdf = nphm_sdf_pallas(params_shape, cfg, pts, lat_s[0], **kernel_kw)
         return sdf[_unbrick_gather(res, brick, tile)]
 
@@ -330,9 +362,11 @@ def extract_mesh(
         from nphm_tpu.ops.pallas_ensemble import DEFAULT_TILE
 
         kw = {}
-        if mesh is not None and resolution**3 % (
-            mesh.devices.size * DEFAULT_TILE
-        ) == 0:
+        if (
+            decoder.kind == "nphm"
+            and mesh is not None
+            and resolution**3 % (mesh.devices.size * DEFAULT_TILE) == 0
+        ):
             kw["device_mesh"] = mesh
         logits = pallas_grid_logits(
             decoder, params, encoding, mini, maxi, resolution, **kw
