@@ -1,12 +1,13 @@
 """Fused Pallas kernel for DeepSDF-style conditioned MLP trunks (eval mode).
 
-Serves the two non-ensemble hot paths of the framework with one kernel:
-
-- the NPM global identity decoder (reference ``src/NPHM/models/deepSDF.py:6``,
-  8x1024 hidden) over dense extraction grids, and
-- the forward deformation field trunk (reference ``deepSDF.py:118``; the
-  shipped ``compress`` mode conditions on a per-row ``[compressed, z_ex]``
-  code) for posed-mesh warping and backward-warp extraction.
+Primary production use: the forward deformation field trunk (reference
+``deepSDF.py:118``; the shipped ``compress`` mode conditions on a per-row
+``[compressed, z_ex]`` code) for posed-mesh warping and backward-warp
+extraction.  The same kernel evaluates the NPM global identity decoder
+(reference ``src/NPHM/models/deepSDF.py:6``), but measurement favors XLA
+there: the 8x1024 trunk is large-matmul work XLA runs near peak (11.3 Mq/s
+XLA vs 4.0 Mq/s layer-streamed kernel at res 256), so the extraction path
+keeps XLA for NPM and the kernel is exposed for narrower trunks.
 
 Design — grid = (point_tiles, layers), TRANSPOSED data flow:
 
@@ -41,8 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nphm_tpu.models.deepsdf import DeepSDFConfig, positional_encoding
 
-DEFAULT_TILE = 512
+DEFAULT_TILE = None  # auto: 512 lanes, 256 for wide (>512) trunks (VMEM)
 SQRT2 = 1.4142135623730951
+
+
+def _auto_tile(cfg: DeepSDFConfig) -> int:
+    # scratch [H+ds, T] + z [H, T] + 2x weight blocks [H, H+ds] must fit
+    # the ~16 MB VMEM budget; 1024-wide trunks need the smaller tile.
+    return 256 if cfg.hidden_dim > 512 else 512
 
 
 def prepare_trunk_operands(params, cfg: DeepSDFConfig, cond, dtype=jnp.float32):
@@ -141,7 +148,7 @@ def deepsdf_trunk_pallas(
     xyz,
     cond,
     *,
-    tile: int = DEFAULT_TILE,
+    tile: int | None = DEFAULT_TILE,
     dtype=jnp.float32,
     interpret: bool | None = None,
 ):
@@ -153,6 +160,8 @@ def deepsdf_trunk_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile is None:
+        tile = _auto_tile(cfg)
     if tile % 128:
         raise ValueError("tile must be a multiple of 128")
     shapes, _ = cfg.layer_shapes
@@ -234,7 +243,7 @@ def npm_grid_sdf_pallas(
     maxi,
     res: int,
     *,
-    tile: int = DEFAULT_TILE,
+    tile: int | None = DEFAULT_TILE,
     dtype=jnp.float32,
     interpret: bool | None = None,
 ):

@@ -39,6 +39,7 @@ from nphm_tpu.training.latents import (
 )
 from nphm_tpu.training.losses import identity_sdf_loss
 from nphm_tpu.utils.logging_utils import MetricsLogger
+from nphm_tpu.utils.profiling import StepTimer
 
 RECON_BOX_MIN = (-0.4, -0.6, -0.7)
 RECON_BOX_MAX = (0.4, 0.6, 0.5)
@@ -101,6 +102,7 @@ class IdentityTrainer:
         self.log_steps = 0
 
         self._evaluator = None
+        self._timer = StepTimer()
 
         # matmul precision is a trace-time setting: "default" is
         # f32-equivalent (3-pass bf16); "bfloat16" trades one pass of
@@ -197,16 +199,17 @@ class IdentityTrainer:
             sums, count = {}, 0
             for batch in self.train_dataset.batch_iter(seed=epoch):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                (
-                    self.params,
-                    self.opt_state,
-                    self.latents,
-                    self.lat_state,
-                    terms,
-                ) = self._train_step(
-                    self.params, self.opt_state, self.latents, self.lat_state,
-                    batch, lr, lr_lat,
-                )
+                with self._timer.step():
+                    (
+                        self.params,
+                        self.opt_state,
+                        self.latents,
+                        self.lat_state,
+                        terms,
+                    ) = self._train_step(
+                        self.params, self.opt_state, self.latents,
+                        self.lat_state, batch, lr, lr_lat,
+                    )
                 count += 1
                 for k, v in terms.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
@@ -226,6 +229,7 @@ class IdentityTrainer:
                 msg += f" {k} {avg[k]:.4f}/{val.get(k, float('nan')):.4f}"
             self.logger.print(msg)
             avg.update({f"val_{k}": v for k, v in val.items()})
+            avg.update(self._timer.metrics())
             self.logger.log(avg, step=epoch)
 
     def compute_val_loss(self, lr_lat):
