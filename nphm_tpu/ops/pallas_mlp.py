@@ -1,13 +1,14 @@
 """Fused Pallas kernel for DeepSDF-style conditioned MLP trunks (eval mode).
 
-Primary production use: the forward deformation field trunk (reference
-``deepSDF.py:118``; the shipped ``compress`` mode conditions on a per-row
-``[compressed, z_ex]`` code) for posed-mesh warping and backward-warp
-extraction.  The same kernel evaluates the NPM global identity decoder
-(reference ``src/NPHM/models/deepSDF.py:6``), but measurement favors XLA
-there: the 8x1024 trunk is large-matmul work XLA runs near peak (11.3 Mq/s
-XLA vs 4.0 Mq/s layer-streamed kernel at res 256), so the extraction path
-keeps XLA for NPM and the kernel is exposed for narrower trunks.
+STATUS — exposed op, not routed by default.  Head-to-head on a v5e the
+chunked XLA paths win for BOTH production trunks (NPM 8x1024: 11.3 vs
+4.0 Mq/s at res 256; deformation 6x512: 22.4 vs 14.2 Mv/s at 1M points):
+DeepSDF trunks are large square matmuls, exactly the regime XLA already
+runs near peak, and the layer-streaming design pays padding + per-step
+costs without a compensating fusion win (unlike the 40-member ensemble,
+whose [members, N, hidden] HBM traffic the ensemble kernel eliminates).
+The kernel is kept (tested, interpret-exact) as the building block for
+narrow/custom trunks where weight residency does pay.
 
 Design — grid = (point_tiles, layers), TRANSPOSED data flow:
 

@@ -191,25 +191,12 @@ def deform_mesh(
     lat = _as_lat(lat_expr)
     if lat_shape is not None:
         lat = jnp.concatenate([_as_lat(lat_shape), lat], axis=-1)
-    anchors_j = (
-        None if anchors is None else jnp.asarray(anchors).reshape(-1, 3)
-    )
-    if evaluator is None and device_mesh is None and _pallas_available(deformer):
-        from nphm_tpu.ops.pallas_mlp import deformation_pallas
-
-        delta = np.asarray(
-            deformation_pallas(
-                params, deformer.cfg,
-                jnp.asarray(mesh.vertices, jnp.float32), lat[0], anchors_j,
-            )
-        )
-        return TriMesh(mesh.vertices + delta, mesh.faces.copy())
     if evaluator is None:
         evaluator = make_deform_evaluator(deformer, chunk_size, device_mesh)
     ctx = {
         "params": params,
         "lat": lat,
-        "anchors": None if anchors_j is None else anchors_j[None],
+        "anchors": None if anchors is None else jnp.asarray(anchors).reshape(1, -1, 3),
     }
     delta = evaluator(ctx, mesh.vertices)
     return TriMesh(mesh.vertices + delta, mesh.faces.copy())
@@ -221,11 +208,11 @@ def _pallas_available(decoder) -> bool:
         return False
     if kind == "nphm":
         return True
-    # NPM's 8x1024 global trunk is big-matmul work XLA already runs near
-    # peak (measured 11.3 Mq/s XLA vs 4.0 Mq/s layer-streamed kernel) —
-    # keep the chunked XLA path for it.
-    if kind == "deformation":
-        return getattr(decoder.cfg, "mode", None) != "interpolate"
+    # The DeepSDF trunks (NPM 8x1024, deformation 6x512) are large-matmul
+    # work XLA already runs near peak (measured: NPM 11.3 vs 4.0 Mq/s,
+    # deformation 22.4 vs 14.2 Mv/s, XLA vs layer-streamed kernel) — the
+    # chunked XLA paths stay in place for them; ops/pallas_mlp.py remains
+    # available for narrower trunks.
     return False
 
 
@@ -311,28 +298,18 @@ def pallas_backward_grid_logits(
         n = res**3
         pts = _brick_points(axes, jnp.arange(n, dtype=jnp.int32), res, brick, tile)
         if lat_e is not None:
-            if getattr(decoder_expr.cfg, "mode", None) != "interpolate":
-                # fused trunk kernel: no [N, hidden] activations in HBM
-                from nphm_tpu.ops.pallas_mlp import deformation_pallas
+            pad = (-n) % chunk_size
+            p = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)], 0)
 
-                pts = pts + deformation_pallas(
-                    params_expr, decoder_expr.cfg, pts, lat_e[0],
-                    None if anchors_j is None else anchors_j[0],
-                    interpret=kernel_kw.get("interpret"),
+            def warp(chunk):
+                delta, _ = decoder_expr.apply(
+                    params_expr, chunk[None], lat_e, anchors_j
                 )
-            else:
-                pad = (-n) % chunk_size
-                p = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)], 0)
+                return chunk + delta[0]
 
-                def warp(chunk):
-                    delta, _ = decoder_expr.apply(
-                        params_expr, chunk[None], lat_e, anchors_j
-                    )
-                    return chunk + delta[0]
-
-                pts = jax.lax.map(
-                    warp, p.reshape(-1, chunk_size, 3)
-                ).reshape(-1, 3)[:n]
+            pts = jax.lax.map(
+                warp, p.reshape(-1, chunk_size, 3)
+            ).reshape(-1, 3)[:n]
         sdf = nphm_sdf_pallas(params_shape, cfg, pts, lat_s[0], **kernel_kw)
         return sdf[_unbrick_gather(res, brick, tile)]
 
