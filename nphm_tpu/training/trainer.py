@@ -127,7 +127,10 @@ class IdentityTrainer:
     def _loss(self, params, table, batch):
         idx = batch["idx"].reshape(-1)
         lat = table[idx]
-        terms = identity_sdf_loss(self.decoder, params, batch, lat, training=True)
+        terms = identity_sdf_loss(
+            self.decoder, params, batch, lat, training=True,
+            remat=self.cfg.get("remat", True),
+        )
         loss = sum(self.lambdas[k] * terms[k] for k in terms)
         return loss, terms
 
