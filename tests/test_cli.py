@@ -186,3 +186,26 @@ def test_full_cli_pipeline(dummy_root, tmp_path):
     lats = [f for f in os.listdir(out_dir) if f.endswith("_lat_shape.npy")]
     assert len(meshes) >= 4, meshes  # 2 subjects x 2 expressions
     assert len(lats) >= 4
+
+    # --- evaluation: render-sample + metrics + gather ---------------------
+    _run(
+        ["scripts/evaluation/eval.py", "--result_dir", out_dir,
+         "--num_samps", "2000", "--subjects", "351", "365"],
+        env,
+    )
+    eval_dir = os.path.join(out_dir, "evaluation")
+    jsons = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(eval_dir)
+        for f in fs
+        if f == "metrics.json"
+    ]
+    assert jsons, f"no metrics.json under {eval_dir}"
+
+    out = _run(
+        ["scripts/evaluation/gather.py", "--result_dir", out_dir,
+         "--subjects", "351", "365"],
+        env,
+    )
+    assert os.path.exists(os.path.join(eval_dir, "total_merics.csv"))  # (sic)
+    assert os.path.exists(os.path.join(eval_dir, "total_metrics_face.csv"))
