@@ -11,7 +11,6 @@ in nphm_tpu.data.sampling).
 from __future__ import annotations
 
 import dataclasses
-import struct
 from typing import Optional
 
 import numpy as np
