@@ -223,6 +223,7 @@ def pallas_grid_logits(
     mini,
     maxi,
     resolution: int,
+    transfer_dtype=None,
     **kernel_kw,
 ) -> np.ndarray:
     """Dense-grid logits via the fused Pallas ensemble kernel.
@@ -230,6 +231,10 @@ def pallas_grid_logits(
     Grid points are generated on device in spatially compact brick order
     (member culling) and returned in the natural x-major order; only the
     final [res^3] logits cross the host boundary.
+
+    transfer_dtype: optionally downcast logits on device before the
+    device->host pull (e.g. np.float16 halves it; marching cubes tolerates
+    the ~1e-3 relative rounding).  Useful on transfer-limited links.
     """
     lat = _as_lat(encoding)[0]
     mini = tuple(float(x) for x in mini)
@@ -246,7 +251,9 @@ def pallas_grid_logits(
         out = nphm_grid_sdf_pallas(
             params, decoder.cfg, lat, mini, maxi, int(resolution), **kernel_kw
         )
-    return np.asarray(out)
+    if transfer_dtype is not None:
+        out = out.astype(jnp.dtype(transfer_dtype))
+    return np.asarray(out).astype(np.float32)
 
 
 def pallas_backward_grid_logits(
