@@ -6,13 +6,13 @@ Hot loop #2 of SURVEY.md section 3 (dense grid evaluation, reference
 through 40 small local MLPs and the per-member SDFs are blended with a
 Gaussian kernel on point-to-anchor distance.
 
-Kernel design (one pallas_call, grid = (point_tiles, members)):
+Kernel design (one pallas_call, grid = (point_tiles, member_groups)):
 
 - Points are tiled along the first grid axis; the 39 anchored members
-  iterate on the innermost axis, accumulating the Gaussian-blend numerator
-  and denominator in VMEM scratch, so activations never touch HBM (the
-  pure-XLA path writes ``[members, N, hidden]`` to HBM between layers and
-  is bandwidth-bound).
+  iterate on the innermost axis (``group`` per step, statically unrolled),
+  accumulating the Gaussian-blend numerator and denominator in VMEM
+  scratch, so activations never touch HBM (the pure-XLA path writes
+  ``[members, N, hidden]`` to HBM between layers and is bandwidth-bound).
 - Member weights arrive as per-member blocks (symmetric weight sharing,
   reference EnsembledDeepSDF.py:43-45, is expanded on the XLA side; the
   x-mirror of odd pair members, reference :244, is folded into the sign of
@@ -22,13 +22,19 @@ Kernel design (one pallas_call, grid = (point_tiles, members)):
   per-member biases outside the kernel (cheap, once per latent).
 - **Member culling**: blend weights decay as ``exp(-d^2/0.01)``, so a
   member whose anchor is farther than ``sqrt(ln(1/eps)*var)`` from every
-  point in the tile contributes < eps and its whole MLP is predicated off
-  (``@pl.when``).  On spatially coherent tiles (grid extraction) this
-  skips most of the 39 members with an error bounded by ``39*eps``.
-- The 3-wide input matmuls run as VPU outer products and the 1-wide output
-  matmul as a VPU row-reduce (K=3 / N=1 MXU matmuls would pad to 128 and
-  waste ~40x the FLOPs); the big hidden matmuls run on the MXU with f32
-  accumulation (operands optionally bf16).
+  point in the tile contributes < eps and its whole MLP is predicated off.
+  The predicate is computed OUTSIDE the kernel from tile bounding boxes
+  (conservative) and read as an SMEM scalar — an in-kernel ``jnp.min``
+  reduce would stall the VPU pipeline every step.  On spatially coherent
+  tiles (brick-ordered grids) this skips ~75% of the 39 members with an
+  error bounded by ``39*eps``.
+- TRANSPOSED data flow: points live on the lane axis ([3, T] tiles,
+  [hidden, T] activations, [1, T] blend scalars at full lane utilization).
+  The 3-wide input matmuls run as VPU outer products and the 1-wide output
+  matmul as a VPU column-reduce (K=3 / N=1 MXU matmuls would pad to 128
+  and waste ~40x the FLOPs); the big hidden matmuls run on the MXU with
+  f32 accumulation (operands optionally bf16 — measured neutral; the
+  kernel sits near the padded-matmul roofline for this architecture).
 - Eval-mode semantics pin the background member to SDF=1 (reference
   :260-261 intent), so its blend contribution is the scratch initializer
   and only the 39 anchored members are evaluated.
