@@ -85,7 +85,8 @@ def main():
 
         t0 = time.perf_counter()
         logits = pallas_grid_logits(
-            decoder, params, lat, GRID_MIN, GRID_MAX, RES
+            decoder, params, lat, GRID_MIN, GRID_MAX, RES,
+            transfer_dtype=np.float16,  # relay link is transfer-limited
         )
         t_xfer = time.perf_counter() - t0 - t_eval  # ~= host transfer cost
     else:
