@@ -280,9 +280,9 @@ def nphm_sdf_pallas(
 ):
     """Eval-mode NPHM SDF via the fused kernel.
 
-    group: members evaluated per grid step (statically unrolled).  The
-    per-grid-step pipeline overhead (~us) dominates the tiny per-member
-    MLPs, so batching members amortizes it; culling stays per-member.
+    group: members evaluated per grid step (statically unrolled; measured
+    mildly best at 4 — the kernel sits near the padded-matmul roofline, so
+    grouping mostly trades VMEM for step count).  Culling stays per-member.
 
     xyz: [N, 3] (padded to a tile multiple internally); lat: [lat_dim] or
     [1, lat_dim].  Returns sdf [N] f32.  Matches
