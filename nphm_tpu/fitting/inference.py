@@ -390,7 +390,8 @@ def fit_joint(
     padded, lens = _pad_observations(all_obs)
     n_obs = len(all_obs)
     # pad shapes to stable granules so repeat fits hit the runner cache
-    o_pad = -(-n_obs // 4) * 4
+    # (obs counts 7-24 in the eval protocol -> granule 8 = three buckets)
+    o_pad = -(-n_obs // 8) * 8
     p_pad = -(-padded.shape[1] // 512) * 512
     padded = jnp.pad(padded, ((0, o_pad - n_obs), (0, p_pad - padded.shape[1]), (0, 0)))
     lens = jnp.pad(lens, (0, o_pad - n_obs), constant_values=1)
@@ -490,7 +491,7 @@ def fit_joint_batch(
     clamp_arr = jnp.asarray(_clamp_array(cfg.clamp_schedule, total, cfg.step_scale))
 
     n_obs = np.asarray([len(o) for o in subjects_obs], np.int32)
-    o_max = -(-int(n_obs.max()) // 4) * 4
+    o_max = -(-int(n_obs.max()) // 8) * 8
     p_max = -(-int(max(len(o) for obs in subjects_obs for o in obs)) // 512) * 512
     padded = np.zeros((S, o_max, p_max, 3), np.float32)
     lens = np.ones((S, o_max), np.int32)  # 1 (not 0) so randint stays valid
@@ -635,7 +636,7 @@ def fit_identity(
 
     padded, lens = _pad_observations(all_obs)
     n_obs = len(all_obs)
-    o_pad = -(-n_obs // 4) * 4
+    o_pad = -(-n_obs // 8) * 8
     p_pad = -(-padded.shape[1] // 512) * 512
     padded = jnp.pad(padded, ((0, o_pad - n_obs), (0, p_pad - padded.shape[1]), (0, 0)))
     lens = jnp.pad(lens, (0, o_pad - n_obs), constant_values=1)
