@@ -67,10 +67,19 @@ def prepare_trunk_operands(params, cfg: DeepSDFConfig, cond, dtype=jnp.float32):
     shapes, skip_in = cfg.layer_shapes
     n_layers = len(shapes)
     ds = cfg.d_in_spatial
-    H = max(max(s_out for _, s_out in shapes), max(
-        (s_in if i == 0 else s_in) for i, (s_in, _) in enumerate(shapes)
-    ))
-    H = max(H, cfg.hidden_dim)
+    # H spans only the *hidden* portion of each layer input/output: spatial
+    # features ride in rows [H:H+ds] and conditioning is folded into biases,
+    # so layer-0's full (spatial+cond) input width must NOT inflate the
+    # padded [L, H, H+ds] tensor (wide conditioning would balloon it with
+    # all-zero columns and waste VMEM).
+    H = max(
+        max(s_out for _, s_out in shapes),
+        max(
+            0 if i == 0 else (s_in - cfg.d_in if i == skip_in else s_in)
+            for i, (s_in, _) in enumerate(shapes)
+        ),
+        cfg.hidden_dim,
+    )
     if cond is not None:
         cond = jnp.reshape(cond, (cfg.lat_dim,))
 

@@ -256,6 +256,60 @@ def pallas_grid_logits(
     return np.asarray(out).astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("decoder_shape", "decoder_expr", "mini", "maxi", "res", "chunk_size", "kernel_kw_items"))
+def _backward_grid_run(
+    decoder_shape,
+    decoder_expr,
+    mini,
+    maxi,
+    res,
+    chunk_size,
+    kernel_kw_items,
+    params_shape,
+    params_expr,
+    lat_s,
+    lat_e,
+    anchors_j,
+):
+    """Jitted body of ``pallas_backward_grid_logits`` at module scope, so the
+    compiled program is CACHED across calls (keyed on the static decoder
+    handles + grid geometry) instead of re-traced per call — fresh Pallas
+    compiles cost minutes through the remote-compile helper."""
+    from nphm_tpu.ops.pallas_ensemble import (
+        DEFAULT_TILE,
+        _brick_points,
+        _brick_shape,
+        _unbrick_gather,
+        nphm_sdf_pallas,
+    )
+
+    kernel_kw = dict(kernel_kw_items)
+    cfg = decoder_shape.cfg
+    tile = kernel_kw.get("tile", DEFAULT_TILE)
+    brick = _brick_shape(res, tile)
+    axes = [
+        jnp.linspace(mini[i], maxi[i], res, dtype=jnp.float32)
+        for i in range(3)
+    ]
+    n = res**3
+    pts = _brick_points(axes, jnp.arange(n, dtype=jnp.int32), res, brick, tile)
+    if lat_e is not None:
+        pad = (-n) % chunk_size
+        p = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)], 0)
+
+        def warp(chunk):
+            delta, _ = decoder_expr.apply(
+                params_expr, chunk[None], lat_e, anchors_j
+            )
+            return chunk + delta[0]
+
+        pts = jax.lax.map(
+            warp, p.reshape(-1, chunk_size, 3)
+        ).reshape(-1, 3)[:n]
+    sdf = nphm_sdf_pallas(params_shape, cfg, pts, lat_s[0], **kernel_kw)
+    return sdf[_unbrick_gather(res, brick, tile)]
+
+
 def pallas_backward_grid_logits(
     decoder_shape,
     decoder_expr,
@@ -276,51 +330,26 @@ def pallas_backward_grid_logits(
     28-56 semantics).  Warps are smooth and small, so warped bricks stay
     spatially compact and member culling keeps firing.
     """
-    from nphm_tpu.ops.pallas_ensemble import (
-        DEFAULT_TILE,
-        _brick_points,
-        _brick_shape,
-        _unbrick_gather,
-        nphm_sdf_pallas,
-    )
-
-    cfg = decoder_shape.cfg
-    tile = kernel_kw.get("tile", DEFAULT_TILE)
-    res = int(resolution)
     lat_s = _as_lat(encoding_shape)
     lat_e = None if encoding_expr is None else _as_lat(encoding_expr)
     anchors_j = (
         None if anchors is None else jnp.asarray(anchors).reshape(1, -1, 3)
     )
-    mini = tuple(float(x) for x in mini)
-    maxi = tuple(float(x) for x in maxi)
-
-    @partial(jax.jit, static_argnames=())
-    def run(params_shape, params_expr, lat_s, lat_e, anchors_j):
-        brick = _brick_shape(res, tile)
-        axes = [
-            jnp.linspace(mini[i], maxi[i], res, dtype=jnp.float32)
-            for i in range(3)
-        ]
-        n = res**3
-        pts = _brick_points(axes, jnp.arange(n, dtype=jnp.int32), res, brick, tile)
-        if lat_e is not None:
-            pad = (-n) % chunk_size
-            p = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)], 0)
-
-            def warp(chunk):
-                delta, _ = decoder_expr.apply(
-                    params_expr, chunk[None], lat_e, anchors_j
-                )
-                return chunk + delta[0]
-
-            pts = jax.lax.map(
-                warp, p.reshape(-1, chunk_size, 3)
-            ).reshape(-1, 3)[:n]
-        sdf = nphm_sdf_pallas(params_shape, cfg, pts, lat_s[0], **kernel_kw)
-        return sdf[_unbrick_gather(res, brick, tile)]
-
-    return np.asarray(run(params_shape, params_expr, lat_s, lat_e, anchors_j))
+    out = _backward_grid_run(
+        decoder_shape,
+        decoder_expr,
+        tuple(float(x) for x in mini),
+        tuple(float(x) for x in maxi),
+        int(resolution),
+        chunk_size,
+        tuple(sorted(kernel_kw.items())),
+        params_shape,
+        params_expr,
+        lat_s,
+        lat_e,
+        anchors_j,
+    )
+    return np.asarray(out)
 
 
 def extract_mesh(
@@ -338,11 +367,18 @@ def extract_mesh(
     """Grid-evaluate + marching cubes in one call (the -sample / log_recs path).
 
     use_pallas: None = auto (fused kernel when the decoder is an NPHM
-    ensemble and a real TPU backend is active); the XLA chunked evaluator
-    (``evaluator`` or a fresh one) is the fallback path.
+    ensemble, a real TPU backend is active, and no explicit ``evaluator``
+    was passed — explicit caller configuration wins over the heuristic);
+    the XLA chunked evaluator (``evaluator`` or a fresh one) is the
+    fallback path.
     """
     if use_pallas is None:
-        use_pallas = _pallas_available(decoder)
+        use_pallas = evaluator is None and _pallas_available(decoder)
+    if use_pallas and chunk_size != DEFAULT_CHUNK:
+        print(
+            "[extract_mesh] note: chunk_size is ignored on the fused Pallas "
+            "path (pass use_pallas=False to keep the chunked XLA evaluator)"
+        )
     if use_pallas:
         from nphm_tpu.ops.pallas_ensemble import DEFAULT_TILE
 

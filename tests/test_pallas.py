@@ -86,10 +86,14 @@ def test_apply_nphm_pallas_batched_wrapper(setup):
 def test_grid_path_matches_xla_in_brick_and_fallback_order(setup):
     cfg, decoder, params, lat = setup
     from nphm_tpu.ops.grid import create_grid_points_from_bounds
-    from nphm_tpu.ops.pallas_ensemble import _brick_shape, nphm_grid_sdf_pallas
+    from nphm_tpu.ops.pallas_ensemble import (
+        DEFAULT_TILE,
+        _brick_shape,
+        nphm_grid_sdf_pallas,
+    )
 
     mini, maxi = (-0.55, -0.5, -0.95), (0.55, 0.75, 0.4)
-    for res in (32, 20):  # 32 bricks into 8x8x16; 20 falls back to natural
+    for res in (32, 20):  # 32 bricks at the default tile; 20 -> natural order
         pts = create_grid_points_from_bounds(mini, maxi, res)
         ref, _ = decoder.apply(
             params, jnp.asarray(pts)[None], lat, training=False
@@ -97,8 +101,13 @@ def test_grid_path_matches_xla_in_brick_and_fallback_order(setup):
         out = nphm_grid_sdf_pallas(
             params, cfg, lat[0], mini, maxi, res, interpret=True
         )
-        expected_brick = (8, 8, 16) if res == 32 else None
-        assert _brick_shape(res, 1024) == expected_brick
+        # assert against the brick decomposition the production call uses
+        if res == 32:
+            bx, by, bz = _brick_shape(res, DEFAULT_TILE)
+            assert bx * by * bz == DEFAULT_TILE and res % bx == 0
+            assert res % by == 0 and res % bz == 0
+        else:
+            assert _brick_shape(res, DEFAULT_TILE) is None
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref[0, :, 0]), atol=1e-4
         )
