@@ -49,6 +49,88 @@ def _mean_anchors():
     return (0.4 * d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
 
 
+def _bench_train_step(B: int = 32, n_scan: int = 10):
+    """Identity train step (B x 1693 production batch) via the fused kernel.
+
+    Returns (seconds/step, achieved TFLOP/s counting the fused fwd+bwd
+    member-MLP math, ~8x a single forward).
+    """
+    import optax
+
+    from nphm_tpu.ops.pallas_train import (
+        _fields_flops,
+        apply_nphm_train_pallas,
+    )
+    from nphm_tpu.training.latents import (
+        clip_global_norm, renorm_rows, row_adam_init, row_adam_update,
+    )
+    from nphm_tpu.training.losses import identity_sdf_loss
+
+    cfg = NPHMConfig()
+    decoder = make_nphm_decoder(cfg, _mean_anchors())
+    params = decoder.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    nf, nn, nfa = 750, 50, 93
+    batch = {
+        "points_face": rng.normal(size=(B, nf, 3)).astype(np.float32) * 0.3,
+        "normals_face": rng.normal(size=(B, nf, 3)).astype(np.float32),
+        "points_non_face": rng.normal(size=(B, nn, 3)).astype(np.float32) * 0.3,
+        "normals_non_face": rng.normal(size=(B, nn, 3)).astype(np.float32),
+        "sup_grad_far": rng.normal(size=(B, nfa, 3)).astype(np.float32) * 0.4,
+        "sup_grad_near": rng.normal(size=(B, nf + nn, 3)).astype(np.float32) * 0.3,
+        "gt_anchors": rng.normal(size=(B, cfg.n_loc, 3)).astype(np.float32) * 0.3,
+        "idx": np.arange(B, dtype=np.int32),
+    }
+    batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+    table = jax.random.normal(jax.random.PRNGKey(1), (64, cfg.lat_dim)) * 0.01
+    lat_state = row_adam_init(table)
+    opt = optax.adamw(5e-4, weight_decay=0.01)
+    opt_state = opt.init(params)
+    lambdas = {
+        "lat_reg": 0.01, "surf_sdf": 2.0, "normals": 0.3, "space_sdf": 0.01,
+        "grad": 0.1, "anchors": 7.5, "symm_dist": 0.01, "middle_dist": 0.0,
+    }
+
+    def fields_fn(p, pts, lat):
+        return apply_nphm_train_pallas(p, cfg, pts, lat)
+
+    def loss_fn(p, t):
+        idx = batch["idx"].reshape(-1)
+        terms = identity_sdf_loss(
+            decoder, p, batch, t[idx], training=True, fields_fn=fields_fn
+        )
+        return sum(lambdas[k] * terms[k] for k in terms)
+
+    def step(carry, _):
+        p, os_, t, ls = carry
+        idx = batch["idx"].reshape(-1)
+        t = renorm_rows(t, idx, 1.0)
+        loss, (gp, gt) = jax.value_and_grad(loss_fn, argnums=(0, 1))(p, t)
+        gp, _ = clip_global_norm(gp, 0.1)
+        updates, os_ = opt.update(gp, os_, p)
+        p = optax.apply_updates(p, updates)
+        t, ls = row_adam_update(t, gt, ls, idx, 5e-4)
+        return (p, os_, t, ls), loss
+
+    @jax.jit
+    def run(p, os_, t, ls):
+        _, losses = jax.lax.scan(step, (p, os_, t, ls), None, length=n_scan)
+        return losses.sum()
+
+    float(run(params, opt_state, table, lat_state))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params, opt_state, table, lat_state))
+        times.append(time.perf_counter() - t0)
+    t_step = min(times) / n_scan
+    tile = 512
+    npp = nf + nn + nfa + nf + nn  # points per row
+    m = B * (-(-npp // tile) * tile)
+    flops = _fields_flops(cfg, m, 8.0)
+    return t_step, flops / t_step / 1e12
+
+
 def main():
     cfg = NPHMConfig()
     decoder = make_nphm_decoder(cfg, _mean_anchors())
@@ -118,6 +200,15 @@ def main():
     }
     if t_xfer is not None:
         extra["relay_transfer_s"] = round(max(t_xfer, 0.0), 3)
+
+    if use_pallas and os.environ.get("BENCH_NO_TRAIN") != "1":
+        # hot loop #1: the identity train step (fwd + eikonal double backprop
+        # + both optimizer updates) through the fused Pallas training kernel
+        # (ops/pallas_train.py).  Round-1 XLA baseline: 323 ms/step at this
+        # batch; the fused kernel target is <=160 ms (VERDICT r1 item 2).
+        t_step, tflops = _bench_train_step()
+        extra["train_step_s"] = round(t_step, 4)
+        extra["train_tflops"] = round(tflops, 2)
 
     if os.environ.get("BENCH_FULL") == "1":
         from nphm_tpu.fitting import FittingConfig, fit_joint

@@ -122,3 +122,35 @@ def build_expression_decoder(cfg: dict, mode: str):
         out_dim=3,
     )
     return make_deformation_decoder(mcfg)
+
+
+def fitting_overrides_from_cfg(cfg: dict):
+    """Joint-fit (lambdas, schedule) overrides from a fitting YAML.
+
+    The reference ships a ``lambdas_shape`` block in its fitting config
+    (scripts/configs/fitting_nphm.yaml:15-21) but hardcodes the joint-fit
+    weights in code (fitting_pointclouds.py:253-266) — the YAML block is
+    dead there.  Here the config surface is live: a ``lambdas`` (alias
+    ``lambdas_expr``) mapping overrides ``default_joint_lambdas`` term by
+    term, and a ``schedule`` mapping of ``{term: {step: divisor}}`` (plus
+    the ``lr`` row) overrides ``default_joint_schedule``.  Returns
+    ``(lambdas | None, schedule | None)`` ready for ``fit_joint``.
+    """
+    from nphm_tpu.fitting.inference import default_joint_lambdas
+
+    lambdas = cfg.get("lambdas") or cfg.get("lambdas_expr")
+    if lambdas is not None:
+        merged = default_joint_lambdas()
+        unknown = set(lambdas) - set(merged)
+        if unknown:
+            raise ValueError(f"unknown fitting lambdas: {sorted(unknown)}")
+        merged.update({k: float(v) for k, v in lambdas.items()})
+        lambdas = merged
+
+    schedule = cfg.get("schedule")
+    if schedule is not None:
+        schedule = {
+            str(term): {int(step): float(div) for step, div in rows.items()}
+            for term, rows in schedule.items()
+        }
+    return lambdas, schedule

@@ -129,3 +129,81 @@ def eval_pointcloud(
             "accuracy_normals": accuracy_pc_normals,
         }
     return out
+
+
+def eval_viz_uni_chamfer(
+    pointcloud_pred, pointcloud_gt, normals_pred=None, normals_gt=None
+):
+    """Unidirectional pred->gt distances for error visualization
+    (reference evaluation/metrics.py:148-168): per-point accuracy distance
+    and |n.n'| similarity, keyed for viz consumers."""
+    pointcloud_pred = np.asarray(pointcloud_pred)
+    pointcloud_gt = np.asarray(pointcloud_gt)
+    accuracy, accuracy_normals = distance_p2p(
+        pointcloud_pred, pointcloud_gt, normals_pred, normals_gt
+    )
+    if normals_gt is None:
+        accuracy_normals = np.nan
+    return {"dist_pred2gt": accuracy, "nsim_pred2gt": accuracy_normals}
+
+
+def eval_mesh_onet(
+    mesh_pred,
+    gt_mesh,
+    n_points: int = 100000,
+    remove_wall: bool = False,
+    include_cdists_for_viz: bool = False,
+    rng=None,
+):
+    """Occupancy-networks-style mesh evaluation
+    (reference evaluation/metrics.py:7-43 ``eval_meshOnet``): sample both
+    surfaces with face normals, optionally crop predicted points to the GT
+    bounding volume ("remove walls/floor"), then run ``eval_pointcloud`` in
+    raw (non-metric) space.  Meshes are ``utils.mesh_io.Mesh``-compatible
+    (vertices/faces/face_normals).
+    """
+    from nphm_tpu.data.sampling import sample_mesh_surface
+
+    rng = np.random.default_rng(rng)
+    pointcloud_gt, _, gt_idx, _ = sample_mesh_surface(
+        gt_mesh, 2 * n_points, rng=rng, return_face_idx=True
+    )
+    normals_gt = gt_mesh.face_normals[gt_idx]
+
+    if remove_wall:
+        pointcloud_pred, _, idx, _ = sample_mesh_surface(
+            mesh_pred, 2 * n_points, rng=rng, return_face_idx=True
+        )
+        eps = 0.007
+        lo = pointcloud_gt.min(axis=0) - eps
+        hi = pointcloud_gt.max(axis=0) + eps
+        mask = (
+            (pointcloud_pred[:, 0] <= hi[0])
+            & (pointcloud_pred[:, 0] >= lo[0])
+            & (pointcloud_pred[:, 1] >= lo[1])  # floor only (keep ceiling)
+            & (pointcloud_pred[:, 2] <= hi[2])
+            & (pointcloud_pred[:, 2] >= lo[2])
+        )
+        kept = pointcloud_pred[mask]
+        sel = rng.integers(0, kept.shape[0], size=n_points)
+        pointcloud_pred = kept[sel]
+        idx = idx[mask][sel]
+    else:
+        pointcloud_pred, _, idx, _ = sample_mesh_surface(
+            mesh_pred, n_points, rng=rng, return_face_idx=True
+        )
+    pointcloud_pred = pointcloud_pred.astype(np.float32)
+    normals_pred = mesh_pred.face_normals[idx]
+
+    out = eval_pointcloud(
+        pointcloud_pred, pointcloud_gt, normals_pred, normals_gt,
+        metric_space=False,
+    )
+    if include_cdists_for_viz:
+        out.update(
+            eval_viz_uni_chamfer(
+                mesh_pred.vertices, pointcloud_gt,
+                mesh_pred.vertex_normals, normals_gt,
+            )
+        )
+    return out

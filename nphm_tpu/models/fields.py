@@ -57,3 +57,57 @@ def warp_jacobian(deform_fn, xyz):
         return x + deform_fn(x)
 
     return point_jacobian(warp, xyz)
+
+
+def point_hessian(field_fn, xyz):
+    """Per-point Hessian of a point-wise field.
+
+    field_fn: xyz [..., N, 3] -> values [..., N, C] (or [..., N]).
+    Returns H [..., N, C, 3, 3] with H[..., c, i, j] = d^2 f_c / dx_i dx_j —
+    the layout of the reference ``hessian`` (diff_operators.py:5-24), minus
+    its NaN status flag (JAX debugging uses jax.debug_nans).  Computed as
+    forward-over-reverse: three JVPs of the per-point gradient.
+    """
+
+    n_channels = field_fn(xyz).shape
+    n_channels = 1 if n_channels == xyz.shape[:-1] else n_channels[-1]
+
+    def grads(x):
+        # [..., N, C, 3] per-channel spatial gradients
+        cols = [
+            spatial_gradient(
+                lambda q, i=i: jnp.reshape(
+                    field_fn(q), q.shape[:-1] + (n_channels,)
+                )[..., i],
+                x,
+            )
+            for i in range(n_channels)
+        ]
+        return jnp.stack(cols, axis=-2)
+
+    eye = jnp.eye(3, dtype=xyz.dtype)
+    cols = []
+    for j in range(3):
+        tangent = jnp.broadcast_to(eye[j], xyz.shape)
+        _, col = jax.jvp(grads, (xyz,), (tangent,))
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)  # [..., N, C, 3, 3]
+
+
+def divergence(vector_fn, xyz):
+    """Per-point divergence of a point-wise R^3 -> R^3 field
+    (reference diff_operators.py:62-66): sum of Jacobian diagonal.
+    Returns [..., N, 1]."""
+    J = point_jacobian(vector_fn, xyz)
+    return jnp.trace(J, axis1=-2, axis2=-1)[..., None]
+
+
+def laplace(field_fn, xyz):
+    """Per-point Laplacian of a scalar field (reference
+    diff_operators.py:57-59): divergence of the gradient.  Returns
+    [..., N, 1]."""
+
+    def grad_field(x):
+        return spatial_gradient(field_fn, x)
+
+    return divergence(grad_field, xyz)

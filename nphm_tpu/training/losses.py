@@ -55,6 +55,7 @@ def identity_sdf_loss(
     *,
     training: bool = True,
     remat: bool = True,
+    fields_fn=None,
 ) -> Dict[str, jnp.ndarray]:
     """IGR identity-SDF loss dict.
 
@@ -68,6 +69,12 @@ def identity_sdf_loss(
     (32 x 2125 points x 40 ensemble members) the saved activations exceed a
     v5e's 16 GB HBM (measured 19 GB) — checkpointing trades one extra
     forward for fitting comfortably.
+
+    fields_fn: optional fused (sdf, grads, anchors) provider with signature
+    ``(params, pts [B,N,3], lat) -> (sdf [B,N,1], grads [B,N,3], anchors)``
+    replacing the decoder-apply + spatial_gradient pair — the hook for the
+    Pallas training kernel (ops/pallas_train.py).  It handles its own
+    rematerialization, so ``remat`` is ignored.
     """
     pf, pn = batch["points_face"], batch["points_non_face"]
     far, near = batch["sup_grad_far"], batch["sup_grad_near"]
@@ -75,18 +82,21 @@ def identity_sdf_loss(
 
     pts = jnp.concatenate([pf, pn, far, near], axis=1)
 
-    def field(x):
-        sdf, _ = decoder.apply(params, x, lat, training=training)
-        return sdf
+    if fields_fn is not None:
+        sdf, grads, anchors = fields_fn(params, pts, lat)
+    else:
+        def field(x):
+            sdf, _ = decoder.apply(params, x, lat, training=training)
+            return sdf
 
-    if remat:
-        field = jax.checkpoint(field)
+        if remat:
+            field = jax.checkpoint(field)
 
-    sdf = field(pts)
-    grads = spatial_gradient(field, pts)
-    _, anchors = decoder.apply(
-        params, pts[:, :1], lat, training=training
-    )  # anchors are point-independent
+        sdf = field(pts)
+        grads = spatial_gradient(field, pts)
+        _, anchors = decoder.apply(
+            params, pts[:, :1], lat, training=training
+        )  # anchors are point-independent
 
     sdf_f = sdf[:, :n_f, 0]
     sdf_n = sdf[:, n_f : n_f + n_n, 0]

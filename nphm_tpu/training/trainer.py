@@ -103,6 +103,28 @@ class IdentityTrainer:
         self._evaluator = None
         self._timer = StepTimer()
 
+        # Fused Pallas training kernel (ops/pallas_train.py) for the NPHM
+        # ensemble: forward + spatial gradient + custom-VJP double backprop
+        # with VMEM-resident activations.  "auto" routes to it on a real
+        # TPU backend; the XLA path (with remat) is the fallback and the
+        # parity reference.
+        fused = self.cfg.get("fused_train_kernel", "auto")
+        if fused == "auto":
+            fused = (
+                getattr(decoder, "kind", None) == "nphm"
+                and jax.default_backend() == "tpu"
+            )
+        self._fields_fn = None
+        if fused:
+            from nphm_tpu.ops.pallas_train import apply_nphm_train_pallas
+
+            kw = dict(self.cfg.get("fused_train_kernel_kw", {}))
+
+            def fields_fn(p, pts, l):
+                return apply_nphm_train_pallas(p, decoder.cfg, pts, l, **kw)
+
+            self._fields_fn = fields_fn
+
         # matmul precision is a trace-time setting: "default" is
         # f32-equivalent (3-pass bf16); "bfloat16" trades one pass of
         # mantissa for ~3x on the ensemble's batched-small matmuls
@@ -129,6 +151,7 @@ class IdentityTrainer:
         terms = identity_sdf_loss(
             self.decoder, params, batch, lat, training=True,
             remat=self.cfg.get("remat", True),
+            fields_fn=self._fields_fn,
         )
         loss = sum(self.lambdas[k] * terms[k] for k in terms)
         return loss, terms

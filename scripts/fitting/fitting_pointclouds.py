@@ -26,6 +26,7 @@ from nphm_tpu import env_paths
 from nphm_tpu.config import (
     build_expression_decoder,
     build_identity_decoder,
+    fitting_overrides_from_cfg,
     load_yaml,
     print_cfg,
 )
@@ -113,6 +114,10 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
     fcfg = FittingConfig(
         n_steps=args.n_steps, step_scale=args.step_scale, seed=args.seed
     )
+    # YAML `lambdas`/`schedule` blocks override the hand-tuned defaults
+    # (the reference's YAML block is dead code; ours is live)
+    lambdas, schedule = fitting_overrides_from_cfg(CFG)
+    fit_kw = dict(cfg=fcfg, lambdas=lambdas, schedule=schedule)
     group_size = max(1, args.batch_subjects)
     for start in range(0, len(subjects), group_size):
         group = subjects[start : start + group_size]
@@ -131,12 +136,12 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
             # compiled program, matmul batch x group_size
             lat_exprs, lat_shapes, anchors_l, _h = fit_joint_batch(
                 decoder_shape, params_shape, decoder_expr, params_expr,
-                [obs for _, _, obs in per_subj], cfg=fcfg,
+                [obs for _, _, obs in per_subj], **fit_kw,
             )
         else:
             le, ls, an, _h = fit_joint(
                 decoder_shape, params_shape, decoder_expr, params_expr,
-                per_subj[0][2], cfg=fcfg,
+                per_subj[0][2], **fit_kw,
             )
             lat_exprs, lat_shapes, anchors_l = [le], [ls], [an]
 

@@ -145,3 +145,39 @@ def test_eval_and_gather_cli(tmp_path):
     ) as f:
         face = json.load(f)
     assert float(face["chamfer_l1"]) < 0.2
+
+
+def test_eval_mesh_onet_and_viz_chamfer():
+    """eval_meshOnet / eval_viz_uni_chamfer ports (reference
+    evaluation/metrics.py:7-43, 148-168): identical sphere meshes score
+    near-zero chamfer and ~1 normal consistency; remove_wall keeps the
+    result sane; the viz dict carries per-point arrays."""
+    import numpy as np
+
+    from nphm_tpu.evaluation.metrics import (
+        eval_mesh_onet,
+        eval_viz_uni_chamfer,
+    )
+    from nphm_tpu.ops.marching import mesh_from_logits
+
+    res = 48
+    mini, maxi = (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)
+    axes = [np.linspace(mini[i], maxi[i], res) for i in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    sphere = np.linalg.norm(g, axis=-1) - 0.6
+    mesh = mesh_from_logits(sphere.astype(np.float32), mini, maxi, res)
+
+    out = eval_mesh_onet(mesh, mesh, n_points=5000, rng=0)
+    assert out["chamfer_l1"] < 0.02  # res-48 sphere, 5k sample noise
+    assert out["normals consistency"] > 0.97
+
+    out_wall = eval_mesh_onet(
+        mesh, mesh, n_points=5000, remove_wall=True,
+        include_cdists_for_viz=True, rng=0,
+    )
+    assert out_wall["chamfer_l1"] < 0.02
+    assert out_wall["dist_pred2gt"].shape[0] == len(mesh.vertices)
+    assert np.nanmean(out_wall["nsim_pred2gt"]) > 0.9
+
+    viz = eval_viz_uni_chamfer(mesh.vertices, mesh.vertices)
+    assert float(viz["dist_pred2gt"].max()) == 0.0

@@ -21,6 +21,7 @@ from nphm_tpu.models import (
     init_deepsdf,
     init_deformation,
     init_nphm,
+    make_npm_decoder,
     point_jacobian,
     spatial_gradient,
 )
@@ -256,3 +257,94 @@ def test_gradient_supports_double_backprop():
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     assert any(np.abs(np.asarray(g)).sum() > 0 for g in flat)
+
+
+def test_geometric_init_field_is_near_constant_negative():
+    """Adjudication of the round-1 "geometric init ~ sphere SDF" property
+    tests (SURVEY.md section 4; VERDICT r1 item 5).
+
+    The reference applies the DeepSDF geometric init to the LAST layer only
+    (deepSDF.py:49-54: w ~ N(sqrt(pi/fan_in), 1e-5), b = -radius) while
+    hidden layers keep the torch-default uniform init.  Measured on the
+    actual torch reference (seed 0, 8x1024 trunk, zero latent, spheres of
+    radius 0.5/1.0/1.5): sdf = -0.398 with per-radius std < 1e-3 and
+    |grad| ~ 0.001 — the field at init is approximately a negative
+    CONSTANT, NOT a sphere SDF, and the IGR eikonal-at-init property
+    (|grad| ~ 1) does NOT hold for this recipe.  Our init matches that
+    measured behavior; asserting sphere-ness would test a property the
+    reference never had.
+    """
+    cfg = DeepSDFConfig(lat_dim=512, hidden_dim=1024, n_layers=8)
+    dec = make_npm_decoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(1, 1000, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    lat = jnp.zeros((1, cfg.lat_dim))
+    for r in (0.5, 1.0, 1.5):
+        xyz = jnp.asarray(d * r)
+        sdf, _ = dec.apply(params, xyz, lat)
+        s = np.asarray(sdf)
+        assert s.std() < 0.01, "init field should be near-constant per radius"
+        assert -1.0 < s.mean() < -0.05, "init field should be negative"
+
+
+def test_geometric_init_eikonal_is_small_not_unit():
+    """Companion to the constant-field test: the measured |grad| at init is
+    ~1e-3 (torch reference and this port alike), far from the IGR ideal of
+    1.  Assert the measured envelope so a regression toward either huge or
+    unit gradients (i.e. an init recipe change) is caught."""
+    cfg = DeepSDFConfig(lat_dim=512, hidden_dim=1024, n_layers=8)
+    dec = make_npm_decoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    xyz = jnp.asarray(rng.normal(size=(1, 1000, 3)).astype(np.float32) * 0.7)
+    lat = jnp.zeros((1, cfg.lat_dim))
+    g = spatial_gradient(lambda x: dec.apply(params, x, lat)[0], xyz)
+    gn = np.linalg.norm(np.asarray(g), axis=-1)
+    assert gn.mean() < 0.05, "init gradients are measured ~1e-3, not ~1"
+
+
+def test_hessian_laplace_divergence_analytic():
+    """Ports of the reference's unused diff_operators surface
+    (diff_operators.py:5-24, 57-66; VERDICT r1 item 8), checked on
+    quadratic/linear fields with known derivatives."""
+    from nphm_tpu.models.fields import divergence, laplace, point_hessian
+
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32))
+    Bm = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32))
+    xyz = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 3))
+
+    def quad(x):  # f = x^T A x  -> hessian A + A^T, laplace tr(A + A^T)
+        return jnp.einsum("...i,ij,...j->...", x, A, x)
+
+    H = point_hessian(quad, xyz)
+    assert H.shape == (2, 5, 1, 3, 3)
+    np.testing.assert_allclose(
+        np.asarray(H),
+        np.broadcast_to(np.asarray(A + A.T), (2, 5, 1, 3, 3)),
+        atol=1e-4,
+    )
+    lap = laplace(quad, xyz)
+    np.testing.assert_allclose(
+        np.asarray(lap), float(jnp.trace(A + A.T)), atol=1e-4
+    )
+
+    def lin(x):  # v = B x -> div tr(B)
+        return jnp.einsum("...i,ji->...j", x, Bm)
+
+    div = divergence(lin, xyz)
+    assert div.shape == (2, 5, 1)
+    np.testing.assert_allclose(np.asarray(div), float(jnp.trace(Bm)), atol=1e-5)
+
+    def vec2(x):  # [C=2] channel field: hessians per channel
+        return jnp.stack([quad(x), jnp.sum(x**2, -1)], axis=-1)
+
+    H2 = point_hessian(vec2, xyz)
+    assert H2.shape == (2, 5, 2, 3, 3)
+    np.testing.assert_allclose(
+        np.asarray(H2[..., 1, :, :]),
+        np.broadcast_to(2 * np.eye(3, dtype=np.float32), (2, 5, 3, 3)),
+        atol=1e-4,
+    )

@@ -1,0 +1,233 @@
+"""Fused Pallas *training* kernel vs. the XLA decoder path (interpret mode).
+
+Covers the custom-VJP double-backprop contract (VERDICT r1 item 2): forward
+(sdf, spatial gradient, anchors) parity, gradient parity of the full
+identity loss w.r.t. params AND latents AND points (the grad-of-grad path
+through the eikonal/normal terms), member culling with Morton sorting, and
+row-padded shapes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nphm_tpu.models import NPHMConfig, make_nphm_decoder
+from nphm_tpu.models.fields import spatial_gradient
+from nphm_tpu.ops.pallas_train import apply_nphm_train_pallas
+from nphm_tpu.training.losses import identity_sdf_loss
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = NPHMConfig(
+        lat_dim_glob=16,
+        lat_dim_loc=8,
+        n_loc=7,
+        n_symm_pairs=3,
+        hidden_dim=40,
+        n_layers=4,
+        pos_mlp_dim=32,
+    )
+    rng = np.random.default_rng(0)
+    mean_anchors = (rng.normal(size=(cfg.n_loc, 3)) * 0.3).astype(np.float32)
+    decoder = make_nphm_decoder(cfg, mean_anchors)
+    params = decoder.init(jax.random.PRNGKey(0))
+    B, N = 3, 300
+    xyz = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3)) * 0.4
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.lat_dim)) * 0.1
+    return cfg, decoder, params, xyz, lat
+
+
+def _xla_fields(decoder, params, xyz, lat):
+    def field(x):
+        sdf, _ = decoder.apply(params, x, lat, training=True)
+        return sdf
+
+    sdf = field(xyz)
+    grads = spatial_gradient(field, xyz)
+    _, anchors = decoder.apply(params, xyz[:, :1], lat, training=True)
+    return sdf, grads, anchors
+
+
+def _tree_close(a, b, atol):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=atol, rtol=1e-4
+        )
+
+
+def test_forward_matches_xla_training_mode(setup):
+    cfg, decoder, params, xyz, lat = setup
+    ref_sdf, ref_grads, ref_anchors = _xla_fields(decoder, params, xyz, lat)
+    sdf, grads, anchors = apply_nphm_train_pallas(
+        params, cfg, xyz, lat, tile=128, cull_eps=0.0, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(sdf), np.asarray(ref_sdf), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.asarray(ref_grads), atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(anchors), np.asarray(ref_anchors), atol=1e-6
+    )
+
+
+def test_loss_gradients_match_double_backprop(setup):
+    """THE contract: d(loss)/d(params, lat, xyz) where the loss consumes the
+    spatial gradient (eikonal + normal terms) — the reference's
+    create_graph=True double backprop (diff_operators.py:69-79) — must match
+    between the custom-VJP kernel and XLA autodiff."""
+    cfg, decoder, params, xyz, lat = setup
+    tgt = jax.random.normal(jax.random.PRNGKey(3), xyz.shape)
+
+    def loss_from(fields):
+        def loss(params, lat, xyz):
+            sdf, g, anchors = fields(params, lat, xyz)
+            eik = jnp.mean(jnp.abs(jnp.linalg.norm(g, axis=-1) - 1.0))
+            nrm = jnp.mean(jnp.sum((g - tgt) ** 2, -1))
+            return (
+                jnp.mean(jnp.abs(sdf))
+                + 0.3 * nrm
+                + 0.1 * eik
+                + 0.5 * jnp.mean(anchors**2)
+            )
+
+        return loss
+
+    loss_xla = loss_from(
+        lambda p, l, x: _xla_fields(decoder, p, x, l)
+    )
+    loss_fused = loss_from(
+        lambda p, l, x: apply_nphm_train_pallas(
+            p, cfg, x, l, tile=128, cull_eps=0.0, interpret=True
+        )
+    )
+    assert np.allclose(
+        float(loss_xla(params, lat, xyz)),
+        float(loss_fused(params, lat, xyz)),
+        atol=1e-6,
+    )
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(params, lat, xyz)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(params, lat, xyz)
+    _tree_close(gx[0], gf[0], atol=2e-5)  # params (incl. mlp_pos via anchors)
+    _tree_close(gx[1], gf[1], atol=2e-6)  # latents (cond fold + blending)
+    _tree_close(gx[2], gf[2], atol=2e-6)  # points
+
+
+def test_identity_loss_terms_and_grads(setup):
+    """Full identity_sdf_loss via fields_fn: every term and the gradient of
+    the weighted sum match the XLA path."""
+    cfg, decoder, params, xyz, lat = setup
+    B = xyz.shape[0]
+    rng = np.random.default_rng(1)
+    batch = {
+        "points_face": np.asarray(xyz[:, :100]),
+        "normals_face": rng.normal(size=(B, 100, 3)).astype(np.float32),
+        "points_non_face": np.asarray(xyz[:, 100:140]),
+        "normals_non_face": rng.normal(size=(B, 40, 3)).astype(np.float32),
+        "sup_grad_far": rng.normal(size=(B, 30, 3)).astype(np.float32) * 0.5,
+        "sup_grad_near": np.asarray(xyz[:, 140:240]),
+        "gt_anchors": rng.normal(size=(B, cfg.n_loc, 3)).astype(np.float32)
+        * 0.3,
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    lambdas = {
+        "surf_sdf": 2.0, "normals": 0.3, "space_sdf": 0.01, "grad": 0.1,
+        "lat_reg": 0.01, "anchors": 7.5, "symm_dist": 0.01, "middle_dist": 0.0,
+    }
+
+    def fused_fields(p, pts, l):
+        return apply_nphm_train_pallas(
+            p, cfg, pts, l, tile=128, cull_eps=0.0, interpret=True
+        )
+
+    def total(p, l, fields_fn):
+        terms = identity_sdf_loss(
+            decoder, p, batch, l, training=True, fields_fn=fields_fn
+        )
+        return sum(lambdas[k] * terms[k] for k in terms), terms
+
+    (ref_total, ref_terms), ref_g = jax.value_and_grad(
+        total, argnums=(0, 1), has_aux=True
+    )(params, lat, None)
+    (fused_total, fused_terms), fused_g = jax.value_and_grad(
+        total, argnums=(0, 1), has_aux=True
+    )(params, lat, fused_fields)
+
+    for k in ref_terms:
+        np.testing.assert_allclose(
+            float(ref_terms[k]), float(fused_terms[k]), atol=1e-5, rtol=1e-5,
+            err_msg=k,
+        )
+    _tree_close(ref_g[0], fused_g[0], atol=5e-5)
+    _tree_close(ref_g[1], fused_g[1], atol=5e-6)
+
+
+def test_culling_and_sorting_error_is_bounded(setup):
+    cfg, decoder, params, _, lat = setup
+    B = lat.shape[0]
+    # spread points wide so some (tile, member) pairs genuinely cull
+    xyz = jax.random.normal(jax.random.PRNGKey(5), (B, 500, 3)) * 1.0
+    ref_sdf, ref_grads, _ = _xla_fields(decoder, params, xyz, lat)
+    sdf, grads, _ = apply_nphm_train_pallas(
+        params, cfg, xyz, lat, tile=128, cull_eps=1e-9, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(sdf), np.asarray(ref_sdf), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.asarray(ref_grads), atol=1e-4
+    )
+    # sorting alone (cull off) is exact up to reduction order
+    sdf2, grads2, _ = apply_nphm_train_pallas(
+        params, cfg, xyz, lat, tile=128, cull_eps=0.0, sort=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(sdf2), np.asarray(ref_sdf), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grads2), np.asarray(ref_grads), atol=5e-6
+    )
+
+
+def test_culled_gradients_stay_close(setup):
+    cfg, decoder, params, _, lat = setup
+    B = lat.shape[0]
+    xyz = jax.random.normal(jax.random.PRNGKey(6), (B, 256, 3)) * 1.0
+
+    def loss(fields):
+        def f(p, l):
+            sdf, g, _ = fields(p, l)
+            return jnp.mean(jnp.abs(sdf)) + 0.1 * jnp.mean(
+                jnp.abs(jnp.linalg.norm(g, axis=-1) - 1.0)
+            )
+
+        return f
+
+    gx = jax.grad(
+        loss(lambda p, l: _xla_fields(decoder, p, xyz, l)), argnums=(0, 1)
+    )(params, lat)
+    gf = jax.grad(
+        loss(
+            lambda p, l: apply_nphm_train_pallas(
+                p, cfg, xyz, l, tile=128, cull_eps=1e-9, interpret=True
+            )
+        ),
+        argnums=(0, 1),
+    )(params, lat)
+    _tree_close(gx[0], gf[0], atol=1e-4)
+    _tree_close(gx[1], gf[1], atol=1e-5)
+
+
+def test_row_padding_and_single_row(setup):
+    cfg, decoder, params, _, _ = setup
+    # N=77 pads to one 128-tile; B=1 exercises the per-row bias indexing
+    xyz = jax.random.normal(jax.random.PRNGKey(7), (1, 77, 3)) * 0.4
+    lat = jax.random.normal(jax.random.PRNGKey(8), (1, cfg.lat_dim)) * 0.1
+    ref_sdf, ref_grads, _ = _xla_fields(decoder, params, xyz, lat)
+    sdf, grads, _ = apply_nphm_train_pallas(
+        params, cfg, xyz, lat, tile=128, cull_eps=0.0, interpret=True
+    )
+    assert sdf.shape == (1, 77, 1) and grads.shape == (1, 77, 3)
+    np.testing.assert_allclose(np.asarray(sdf), np.asarray(ref_sdf), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.asarray(ref_grads), atol=5e-6
+    )
