@@ -171,6 +171,29 @@ def main():
             transfer_dtype=np.float16,  # relay link is transfer-limited
         )
         t_xfer = time.perf_counter() - t0 - t_eval  # ~= host transfer cost
+
+        # Overlapped pipeline (eval || transfer || marching tets), the
+        # production extraction path (VERDICT r1 item 4).  End-to-end wall
+        # time INCLUDING the mesh, f16 transfer.
+        from nphm_tpu.reconstruction.extract import extract_mesh_streamed
+
+        extract_mesh_streamed(  # warm (one compile for all slabs)
+            decoder, params, lat, GRID_MIN, GRID_MAX, RES,
+            transfer_dtype=np.float16,
+        )
+        t0 = time.perf_counter()
+        mesh_s = extract_mesh_streamed(
+            decoder, params, lat, GRID_MIN, GRID_MAX, RES,
+            transfer_dtype=np.float16,
+        )
+        t_stream = time.perf_counter() - t0
+        if os.environ.get("BENCH_NO_R400") != "1":
+            t0 = time.perf_counter()
+            mesh_400 = extract_mesh_streamed(
+                decoder, params, lat, GRID_MIN, GRID_MAX, 400,
+                n_slabs=10, transfer_dtype=np.float16,
+            )
+            t_r400 = time.perf_counter() - t0
     else:
         chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
         evaluator = make_sdf_evaluator(decoder, chunk_size=chunk)
@@ -200,6 +223,12 @@ def main():
     }
     if t_xfer is not None:
         extra["relay_transfer_s"] = round(max(t_xfer, 0.0), 3)
+    if use_pallas:
+        extra["res256_stream_e2e_s"] = round(t_stream, 3)
+        extra["stream_verts"] = int(len(mesh_s.vertices))
+        if os.environ.get("BENCH_NO_R400") != "1":
+            extra["res400_stream_e2e_s"] = round(t_r400, 3)
+            extra["res400_verts"] = int(len(mesh_400.vertices))
 
     if use_pallas and os.environ.get("BENCH_NO_TRAIN") != "1":
         # hot loop #1: the identity train step (fwd + eikonal double backprop

@@ -4,6 +4,7 @@ from nphm_tpu.fitting.inference import (
     fit_identity,
     fit_joint,
     fit_joint_batch,
+    fit_joint_batch_resilient,
     default_joint_lambdas,
     default_joint_schedule,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "fit_identity",
     "fit_joint",
     "fit_joint_batch",
+    "fit_joint_batch_resilient",
     "default_joint_lambdas",
     "default_joint_schedule",
 ]

@@ -490,6 +490,13 @@ def nphm_grid_sdf_pallas(
         # the kernel runs on the mesh's devices, not the default backend
         interpret = device_mesh.devices.flat[0].platform != "tpu"
     brick = _brick_shape(res, tile)
+    if brick is None and tile > 1024:
+        # brick compactness (-> member culling) is worth more than a larger
+        # tile: e.g. res 400 has no 2048-point brick but an (8, 8, 16) one
+        # at 1024 (measured: natural-order tiles barely cull)
+        smaller = _brick_shape(res, 1024)
+        if smaller is not None:
+            tile, brick = 1024, smaller
     axes = [
         jnp.linspace(mini[i], maxi[i], res, dtype=jnp.float32)
         for i in range(3)

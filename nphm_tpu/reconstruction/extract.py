@@ -352,6 +352,171 @@ def pallas_backward_grid_logits(
     return np.asarray(out)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "mini", "maxi", "res", "n_slabs", "tile", "interpret",
+        "transfer_dtype", "kernel_kw_items",
+    ),
+)
+def _slab_logits_run(
+    cfg, mini, maxi, res, n_slabs, tile, interpret, transfer_dtype,
+    kernel_kw_items, params, lat, slab_idx,
+):
+    """Brick-order SDF eval of ONE x-slab, returned in natural order
+    [res/n_slabs, res, res].  ``slab_idx`` is traced, so one compiled
+    program serves every slab."""
+    from nphm_tpu.ops.pallas_ensemble import (
+        _brick_points,
+        _brick_shape,
+        nphm_sdf_pallas,
+    )
+
+    brick = _brick_shape(res, tile)
+    bx, by, bz = brick
+    nby, nbz = res // by, res // bz
+    axes = [
+        jnp.linspace(mini[i], maxi[i], res, dtype=jnp.float32)
+        for i in range(3)
+    ]
+    per = res**3 // n_slabs
+    lin = jnp.arange(per, dtype=jnp.int32) + slab_idx * per
+    pts = _brick_points(axes, lin, res, brick, tile)
+    sdf = nphm_sdf_pallas(
+        params, cfg, pts, lat, tile=tile, interpret=interpret,
+        **dict(kernel_kw_items),
+    )
+    # unbrick within the slab: the brick layout is periodic in x-blocks, so
+    # the slab-local gather map is slab-independent
+    h = res // n_slabs
+    j = jnp.arange(per, dtype=jnp.int32)
+    jx = j // (res * res)
+    jy = (j // res) % res
+    jz = j % res
+    pos = (
+        ((jx // bx) * nby * nbz + (jy // by) * nbz + jz // bz) * tile
+        + (jx % bx) * (by * bz)
+        + (jy % by) * bz
+        + (jz % bz)
+    )
+    out = sdf[pos].reshape(h, res, res)
+    if transfer_dtype is not None:
+        out = out.astype(jnp.dtype(transfer_dtype))
+    return out
+
+
+def _pick_n_slabs(res: int, bx: int, wanted: int) -> int:
+    """Largest slab count <= wanted that splits res into whole x-brick rows."""
+    blocks = res // bx
+    best = 1
+    for s in range(1, min(wanted, blocks) + 1):
+        if blocks % s == 0:
+            best = s
+    return best
+
+
+def extract_mesh_streamed(
+    decoder,
+    params,
+    encoding,
+    mini=(-0.55, -0.5, -0.95),
+    maxi=(0.55, 0.75, 0.4),
+    resolution: int = 256,
+    n_slabs: Optional[int] = None,
+    transfer_dtype=None,
+    mc_workers: int = 3,
+    **kernel_kw,
+) -> TriMesh:
+    """Overlapped extraction: device eval, device->host transfer, and host
+    marching tetrahedra run as a 3-stage pipeline over x-slabs
+    (SURVEY.md section 7 "overlap of device compute with host marching
+    cubes").  Slab k's kernels execute while slab k-1 transfers and slab
+    k-2 triangulates in worker threads; adjacent slabs share one plane of
+    logits so every cell layer is triangulated exactly once, and the Kuhn
+    tetrahedra split is cube-uniform so shared-plane vertices come out
+    bit-identical and weld exactly.
+
+    transfer_dtype: e.g. np.float16 halves the device->host pull (useful on
+    transfer-limited links); marching tolerates the ~1e-3 rounding.
+    Falls back to ``extract_mesh`` when the decoder has no Pallas grid path
+    or the resolution has no brick decomposition.
+    """
+    import concurrent.futures as cf
+
+    from nphm_tpu.ops.marching import marching_tets
+    from nphm_tpu.ops.pallas_ensemble import DEFAULT_TILE, _brick_shape
+
+    interpret = kernel_kw.pop("interpret", None)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile = kernel_kw.pop("tile", DEFAULT_TILE)
+    res = int(resolution)
+    brick = _brick_shape(res, tile)
+    if brick is None and tile > 1024:
+        smaller = _brick_shape(res, 1024)
+        if smaller is not None:
+            tile, brick = 1024, smaller
+    if decoder.kind != "nphm" or brick is None:
+        return extract_mesh(
+            decoder, params, encoding, mini, maxi, res,
+            use_pallas=None if decoder.kind == "nphm" else False,
+        )
+    n_slabs = _pick_n_slabs(res, brick[0], n_slabs or 8)
+    if n_slabs <= 1:
+        return extract_mesh(decoder, params, encoding, mini, maxi, res)
+
+    lat = _as_lat(encoding)[0]
+    mini = tuple(float(x) for x in mini)
+    maxi = tuple(float(x) for x in maxi)
+    h = res // n_slabs
+    step = (np.asarray(maxi, np.float32) - np.asarray(mini, np.float32)) / (
+        res - 1
+    )
+
+    # dispatch ALL slab kernels up front (async); the device works ahead
+    # while the host drains transfers and triangulates
+    futures = [
+        _slab_logits_run(
+            decoder.cfg, mini, maxi, res, n_slabs, tile, interpret,
+            None if transfer_dtype is None else np.dtype(transfer_dtype).name,
+            tuple(sorted(kernel_kw.items())), params, lat,
+            jnp.int32(k),
+        )
+        for k in range(n_slabs)
+    ]
+
+    def mc_slab(k: int, grid: np.ndarray):
+        verts, faces = marching_tets(-grid.astype(np.float32), 0.0)
+        verts[:, 0] += k * h  # slab x-offset in grid-index coords
+        return verts, faces
+
+    slabs: list = [None] * n_slabs
+    jobs = []
+    with cf.ThreadPoolExecutor(max_workers=mc_workers) as ex:
+        for k in range(n_slabs):
+            slabs[k] = np.asarray(futures[k])  # transfer (device->host)
+            if k > 0:
+                # slab k-1 + the first plane of slab k: cells on the
+                # boundary layer are triangulated by slab k-1 only
+                grid = np.concatenate([slabs[k - 1], slabs[k][:1]], axis=0)
+                jobs.append(ex.submit(mc_slab, k - 1, grid))
+        jobs.append(ex.submit(mc_slab, n_slabs - 1, slabs[n_slabs - 1]))
+        parts = [j.result() for j in jobs]
+
+    # concatenate and weld the (bit-identical) shared-plane vertices
+    all_faces = []
+    offset = 0
+    for verts, faces in parts:
+        all_faces.append(faces.astype(np.int64) + offset)
+        offset += len(verts)
+    verts = np.concatenate([v for v, _ in parts], axis=0)
+    faces = np.concatenate(all_faces, axis=0)
+    uniq, inverse = np.unique(verts, axis=0, return_inverse=True)
+    faces = inverse[faces]
+    uniq = uniq * step[None, :] + np.asarray(mini, np.float32)[None, :]
+    return TriMesh(uniq.astype(np.float32), faces)
+
+
 def extract_mesh(
     decoder,
     params,

@@ -31,7 +31,11 @@ from nphm_tpu.config import (
     print_cfg,
 )
 from nphm_tpu.data.manager import DataManager
-from nphm_tpu.fitting import FittingConfig, fit_joint, fit_joint_batch
+from nphm_tpu.fitting import (
+    FittingConfig,
+    fit_joint,
+    fit_joint_batch_resilient,
+)
 from nphm_tpu.reconstruction.extract import (
     deform_mesh,
     make_deform_evaluator,
@@ -134,7 +138,9 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
         if len(per_subj) > 1:
             # vmapped multi-subject fit: same per-subject recipe, one
             # compiled program, matmul batch x group_size
-            lat_exprs, lat_shapes, anchors_l, _h = fit_joint_batch(
+            # crash-tolerant: a too-large vmapped fit can kill the TPU
+            # worker; the resilient wrapper bisects and retries
+            lat_exprs, lat_shapes, anchors_l, _h = fit_joint_batch_resilient(
                 decoder_shape, params_shape, decoder_expr, params_expr,
                 [obs for _, _, obs in per_subj], **fit_kw,
             )

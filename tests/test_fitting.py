@@ -206,3 +206,73 @@ def test_fit_joint_batch_matches_single_recipe():
     for s, r in enumerate(r_true):
         assert abs(float(lat_ss[s][0, 0]) + 0.5 - r) < 0.02, (s, lat_ss[s][0, 0])
         assert lat_es[s].shape == (3, 3)
+
+
+def test_fit_joint_batch_resilient_bisects_on_crash():
+    """VERDICT r1 item 6: a 23-subject protocol must survive injected TPU
+    worker crashes.  A fake batch runner dies for groups > 4 (and once for
+    one specific singleton); the wrapper bisects, retries, preserves
+    per-subject output order, and reports the crash count."""
+    from nphm_tpu.fitting.inference import fit_joint_batch_resilient
+
+    calls = {"batch": [], "single": 0, "single_failed_once": False}
+
+    def fake_batch(ds, ps, de, pe, groups, **kw):
+        calls["batch"].append(len(groups))
+        if len(groups) > 4:
+            raise RuntimeError("TPU worker process crashed or restarted")
+        return (
+            [("le", g[0]) for g in groups],
+            [("ls", g[0]) for g in groups],
+            [("an", g[0]) for g in groups],
+            {"loss": 0.0},
+        )
+
+    def fake_single(ds, ps, de, pe, obs, **kw):
+        calls["single"] += 1
+        if obs[0] == 13 and not calls["single_failed_once"]:
+            calls["single_failed_once"] = True
+            raise RuntimeError("TPU worker process crashed or restarted")
+        return ("le", obs[0]), ("ls", obs[0]), ("an", obs[0]), {"loss": 0.0}
+
+    subjects = [[i] for i in range(23)]  # obs list per subject = [tag]
+    le, ls, an, hist = fit_joint_batch_resilient(
+        None, None, None, None, subjects,
+        _batch_fn=fake_batch, _single_fn=fake_single,
+    )
+    assert [x[1] for x in le] == list(range(23))
+    assert [x[1] for x in ls] == list(range(23))
+    assert [x[1] for x in an] == list(range(23))
+    assert hist["crashes"] >= 3  # 23 -> 11+12 -> ... at least two bisections
+    assert max(hist["group_sizes"]) <= 4
+    assert sum(hist["group_sizes"]) == 23
+    assert max(calls["batch"]) == 23 and min(calls["batch"]) >= 2
+
+
+def test_fit_joint_batch_resilient_singleton_failure_reraises():
+    from nphm_tpu.fitting.inference import fit_joint_batch_resilient
+
+    def always_fail(*a, **kw):
+        raise RuntimeError("TPU worker process crashed or restarted")
+
+    with pytest.raises(RuntimeError):
+        fit_joint_batch_resilient(
+            None, None, None, None, [[0]],
+            _batch_fn=always_fail, _single_fn=always_fail,
+        )
+
+
+def test_fit_joint_batch_resilient_passthrough_when_healthy():
+    from nphm_tpu.fitting.inference import fit_joint_batch_resilient
+
+    def ok_batch(ds, ps, de, pe, groups, **kw):
+        return (
+            [g[0] for g in groups], [g[0] for g in groups],
+            [g[0] for g in groups], {"loss": 1.0},
+        )
+
+    le, ls, an, hist = fit_joint_batch_resilient(
+        None, None, None, None, [[1], [2], [3]], _batch_fn=ok_batch,
+    )
+    assert le == [1, 2, 3] and hist["crashes"] == 0
+    assert hist["group_sizes"] == [3]

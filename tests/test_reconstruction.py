@@ -168,3 +168,79 @@ def test_deform_mesh_translation():
         out.vertices, m.vertices + np.array([0.1, 0.2, -0.3]), rtol=1e-6
     )
     np.testing.assert_array_equal(out.faces, m.faces)
+
+
+def test_streamed_extraction_matches_full():
+    """extract_mesh_streamed (x-slab pipeline: device eval || transfer ||
+    marching tets, VERDICT r1 item 4) produces the same geometry as the
+    one-shot path: equal unique-vertex sets, face count, and surface area."""
+    import jax
+    import numpy as np
+
+    from nphm_tpu.models import NPHMConfig, make_nphm_decoder
+    from nphm_tpu.reconstruction.extract import (
+        extract_mesh,
+        extract_mesh_streamed,
+    )
+
+    cfg = NPHMConfig(
+        lat_dim_glob=16, lat_dim_loc=8, n_loc=7, n_symm_pairs=3,
+        hidden_dim=40, n_layers=4, pos_mlp_dim=32,
+    )
+    rng = np.random.default_rng(0)
+    dec = make_nphm_decoder(
+        cfg, (rng.normal(size=(cfg.n_loc, 3)) * 0.3).astype(np.float32)
+    )
+    params = dec.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.lat_dim)) * 0.1
+    mini, maxi = (-0.55, -0.5, -0.95), (0.55, 0.75, 0.4)
+
+    full = extract_mesh(dec, params, lat, mini, maxi, 32, use_pallas=True)
+    for n_slabs in (None, 2):
+        streamed = extract_mesh_streamed(
+            dec, params, lat, mini, maxi, 32, n_slabs=n_slabs
+        )
+        assert len(streamed.faces) == len(full.faces)
+        vf = np.unique(np.asarray(full.vertices, np.float32), axis=0)
+        vs = np.unique(np.asarray(streamed.vertices, np.float32), axis=0)
+        assert vf.shape == vs.shape
+        np.testing.assert_allclose(vf, vs, atol=1e-6)
+
+        def area(m):
+            t = m.vertices[m.faces]
+            return float(
+                np.linalg.norm(
+                    np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=-1
+                ).sum()
+                / 2
+            )
+
+        np.testing.assert_allclose(area(full), area(streamed), rtol=1e-6)
+
+
+def test_streamed_extraction_transfer_dtype_and_fallback():
+    import jax
+    import numpy as np
+
+    from nphm_tpu.models import NPHMConfig, make_nphm_decoder
+    from nphm_tpu.reconstruction.extract import extract_mesh_streamed
+
+    cfg = NPHMConfig(
+        lat_dim_glob=16, lat_dim_loc=8, n_loc=7, n_symm_pairs=3,
+        hidden_dim=40, n_layers=4, pos_mlp_dim=32,
+    )
+    rng = np.random.default_rng(0)
+    dec = make_nphm_decoder(
+        cfg, (rng.normal(size=(cfg.n_loc, 3)) * 0.3).astype(np.float32)
+    )
+    params = dec.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.lat_dim)) * 0.1
+    mini, maxi = (-0.55, -0.5, -0.95), (0.55, 0.75, 0.4)
+    # f16 transfer: same topology, slightly rounded vertices
+    m16 = extract_mesh_streamed(
+        dec, params, lat, mini, maxi, 32, transfer_dtype=np.float16
+    )
+    assert len(m16.faces) > 0
+    # resolutions with no brick decomposition fall back to the serial path
+    m = extract_mesh_streamed(dec, params, lat, mini, maxi, 20)
+    assert len(m.faces) > 0
