@@ -49,6 +49,69 @@ def _mean_anchors():
     return (0.4 * d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
 
 
+_MULTICHIP_CODE = """
+import json
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jax.sharding import Mesh
+from nphm_tpu.models import NPHMConfig, make_nphm_decoder
+from nphm_tpu.ops.pallas_ensemble import DEFAULT_TILE, nphm_grid_sdf_pallas
+
+cfg = NPHMConfig(lat_dim_glob=8, lat_dim_loc=4, n_loc=7, n_symm_pairs=3,
+                 hidden_dim=16, n_layers=4, pos_mlp_dim=16)
+rng = np.random.default_rng(0)
+dec = make_nphm_decoder(cfg, (rng.normal(size=(cfg.n_loc, 3)) * 0.3).astype(np.float32))
+params = dec.init(jax.random.PRNGKey(0))
+lat = jax.random.normal(jax.random.PRNGKey(1), (cfg.lat_dim,)) * 0.1
+mini, maxi = (-0.55, -0.5, -0.95), (0.55, 0.75, 0.4)
+res = 32
+devs = jax.devices("cpu")[:8]
+mesh = Mesh(np.asarray(devs), ("data",))
+out_sh = nphm_grid_sdf_pallas(params, cfg, lat, mini, maxi, res,
+                              device_mesh=mesh, interpret=True)
+out_1 = nphm_grid_sdf_pallas(params, cfg, lat, mini, maxi, res, interpret=True)
+err = float(np.abs(np.asarray(out_sh) - np.asarray(out_1)).max())
+print(json.dumps({
+    "devices": len(devs),
+    "bricks_per_device": res**3 // DEFAULT_TILE // len(devs),
+    "max_abs_err_vs_single": err,
+    "ok": bool(err < 1e-5),
+}))
+"""
+
+
+def _bench_multichip():
+    """Sharded-extraction equivalence on a virtual 8-device CPU mesh
+    (subprocess: this process owns the TPU backend).  One JSON sub-object
+    per round so the sharding path is exercised in every round artifact
+    (VERDICT r1 item 9), not only in the driver's dryrun."""
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    env.pop("JAX_PLATFORM_NAME", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _MULTICHIP_CODE],
+            env=env, capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = [
+            ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode == 0 and lines:
+            return json.loads(lines[-1])
+        return {"ok": False, "rc": proc.returncode,
+                "err": proc.stderr.strip()[-200:]}
+    except Exception as e:  # noqa: BLE001 — bench must still print its line
+        return {"ok": False, "err": repr(e)[:200]}
+
+
 def _bench_train_step(B: int = 32, n_scan: int = 10):
     """Identity train step (B x 1693 production batch) via the fused kernel.
 
@@ -238,6 +301,9 @@ def main():
         t_step, tflops = _bench_train_step()
         extra["train_step_s"] = round(t_step, 4)
         extra["train_tflops"] = round(tflops, 2)
+
+    if os.environ.get("BENCH_NO_MULTI") != "1":
+        extra["multichip"] = _bench_multichip()
 
     if os.environ.get("BENCH_FULL") == "1":
         from nphm_tpu.fitting import FittingConfig, fit_joint

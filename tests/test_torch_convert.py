@@ -134,3 +134,109 @@ def test_torch_trainer_checkpoint_container(tmp_path):
     out1, _ = dec.apply(params, xyz, lat, training=True)
     out2, _ = dec.apply(params2, xyz, lat, training=True)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_reference_trainer_checkpoint_transplant_end_to_end(tmp_path):
+    """VERDICT r1 item 10: build a checkpoint with the ACTUAL reference
+    trainer classes (torch FastEnsembleDeepSDFMirrored + Embedding tables +
+    optimizers, saved exactly as reference training.py:190-201), convert it
+    with utils/torch_convert, and fit + extract from the transplanted
+    weights — the advertised "bring your reference weights" path."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from NPHM.models.EnsembledDeepSDF import FastEnsembleDeepSDFMirrored
+    except Exception as e:  # pragma: no cover - reference not present
+        pytest.skip(f"reference torch classes unavailable: {e}")
+
+    cfg = NPHMConfig(
+        lat_dim_glob=8, lat_dim_loc=4, n_loc=5, n_symm_pairs=2,
+        hidden_dim=32, n_layers=4, pos_mlp_dim=16,
+    )
+    rng = np.random.default_rng(0)
+    ma = (rng.normal(size=(cfg.n_loc, 3)) * 0.3).astype(np.float32)
+
+    torch.manual_seed(0)
+    ref = FastEnsembleDeepSDFMirrored(
+        lat_dim_glob=cfg.lat_dim_glob, lat_dim_loc=cfg.lat_dim_loc,
+        n_loc=cfg.n_loc, n_symm_pairs=cfg.n_symm_pairs,
+        anchors=torch.from_numpy(ma), hidden_dim=cfg.hidden_dim,
+        n_layers=cfg.n_layers, pos_mlp_dim=cfg.pos_mlp_dim,
+    ).float()
+    n_subj = 4
+    latents = torch.nn.Embedding(
+        n_subj, cfg.lat_dim, max_norm=1.0, sparse=True
+    )
+    torch.nn.init.normal_(latents.weight.data, 0.0, 0.01)
+    latents_val = torch.nn.Embedding(2, cfg.lat_dim, max_norm=1.0, sparse=True)
+    torch.nn.init.normal_(latents_val.weight.data, 0.0, 0.01)
+    opt_enc = torch.optim.AdamW(ref.parameters(), lr=5e-4, weight_decay=0.01)
+    opt_lat = torch.optim.SparseAdam(latents.parameters(), lr=1e-3)
+    opt_lat_val = torch.optim.SparseAdam(latents_val.parameters(), lr=1e-3)
+
+    # exactly the reference save format (training.py:194-201)
+    path = str(tmp_path / "checkpoint_epoch_2500.tar")
+    torch.save(
+        {
+            "epoch": 2500,
+            "decoder_state_dict": ref.state_dict(),
+            "optimizer_encoder_state_dict": opt_enc.state_dict(),
+            "optimizer_lat_state_dict": opt_lat.state_dict(),
+            "optimizer_lat_val_state_dict": opt_lat_val.state_dict(),
+            "latent_codes_state_dict": latents.state_dict(),
+            "latent_codes_val_state_dict": latents_val.state_dict(),
+        },
+        path,
+    )
+
+    ckpt = tc.load_torch_checkpoint(path)
+    assert ckpt["epoch"] == 2500
+    params = tc.nphm_params_from_state_dict(ckpt["decoder_state_dict"], cfg, ma)
+    table = tc.latent_table_from_state_dict(ckpt["latent_codes_state_dict"])
+    assert table.shape == (n_subj, cfg.lat_dim)
+
+    # 1) forward parity against the live torch model (train mode: the eval
+    #    background pin intentionally differs, see models/ensemble.py)
+    dec = make_nphm_decoder(cfg, ma)
+    xyz = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (1, 64, 3)) * 0.4,
+        np.float32,
+    )
+    lat = np.asarray(table[:1])
+    ref.train()
+    with torch.no_grad():
+        t_out, t_anchors = ref(
+            torch.from_numpy(xyz),
+            torch.from_numpy(lat)[:, None, :].repeat(1, xyz.shape[1], 1),
+            None,
+        )
+    j_out, j_anchors = dec.apply(
+        params, jnp.asarray(xyz), jnp.asarray(lat), training=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out), t_out.numpy(), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_anchors), t_anchors.numpy().reshape(1, cfg.n_loc, 3),
+        atol=1e-5,
+    )
+
+    # 2) the transplanted weights drive fitting + extraction end-to-end
+    from nphm_tpu.fitting import FittingConfig, fit_identity
+    from nphm_tpu.reconstruction.extract import extract_mesh
+
+    obs = [
+        (rng.normal(size=(256, 3)) * 0.3).astype(np.float32) for _ in range(2)
+    ]
+    fc = FittingConfig(
+        n_steps=5, n_obs_per_batch=2, n_points_per_obs=64, log_every=10**9
+    )
+    lat_fit, _anchors, _hist = fit_identity(dec, params, obs, cfg=fc, verbose=False)
+    assert np.isfinite(np.asarray(lat_fit)).all()
+    mesh = extract_mesh(
+        dec, params, np.asarray(lat_fit).reshape(1, -1),
+        (-0.7, -0.7, -0.7), (0.7, 0.7, 0.7), 24, use_pallas=False,
+    )
+    assert np.isfinite(mesh.vertices).all()
