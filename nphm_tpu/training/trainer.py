@@ -9,10 +9,17 @@ best-val marker files, full-state checkpoints, and periodic mesh
 reconstruction logging.
 
 TPU-first: one jitted train step (loss + double-backprop eikonal + both
-optimizer updates), donated carry state, dynamic LRs passed as scalars.  For
-multi-chip data parallelism the batch axis can be sharded over a device mesh
-(see __graft_entry__.dryrun_multichip); latent tables stay replicated and
-gradient psums ride ICI, inserted by XLA from sharding annotations.
+optimizer updates), donated carry state, dynamic LRs passed as scalars.
+
+Multi-chip data parallelism is first-class: pass ``mesh=`` (a 1-D
+``jax.sharding.Mesh``) and the train/val steps compile with the batch axis
+sharded across it and params/latent tables replicated — XLA inserts the
+gradient psums over ICI from the sharding annotations, so the step is
+bit-compatible with the single-device program (same means, same clips, same
+updates; see tests/test_parallel_training.py).  The fused Pallas training
+kernel is routed through ``shard_map`` in that case, each device running the
+kernel on its local batch shard.  Ragged trailing batches (batch size not
+divisible by the mesh) transparently fall back to the single-device step.
 """
 
 from __future__ import annotations
@@ -26,8 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nphm_tpu import env_paths
+from nphm_tpu.parallel.mesh import DATA_AXIS
 from nphm_tpu.reconstruction.extract import make_sdf_evaluator
 from nphm_tpu.training import checkpoints as ckpt
 from nphm_tpu.training.latents import (
@@ -68,8 +77,10 @@ class IdentityTrainer:
         logger: Optional[MetricsLogger] = None,
         recon_resolution: int = 256,
         seed: int = 0,
+        mesh=None,
     ):
         self.decoder = decoder
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self.cfg = cfg["training"]
         self.lambdas = dict(self.cfg["lambdas"])
         self.train_dataset = train_dataset
@@ -108,22 +119,40 @@ class IdentityTrainer:
         # with VMEM-resident activations.  "auto" routes to it on a real
         # TPU backend; the XLA path (with remat) is the fallback and the
         # parity reference.
+        # the platform the step actually runs on: the mesh's devices when
+        # data-parallel, else the default backend
+        plat = (
+            self.mesh.devices.flat[0].platform
+            if self.mesh is not None
+            else jax.default_backend()
+        )
         fused = self.cfg.get("fused_train_kernel", "auto")
         if fused == "auto":
-            fused = (
-                getattr(decoder, "kind", None) == "nphm"
-                and jax.default_backend() == "tpu"
-            )
+            fused = getattr(decoder, "kind", None) == "nphm" and plat == "tpu"
         self._fields_fn = None
+        self._fields_fn_dp = None
         if fused:
             from nphm_tpu.ops.pallas_train import apply_nphm_train_pallas
 
             kw = dict(self.cfg.get("fused_train_kernel_kw", {}))
+            kw.setdefault("interpret", plat != "tpu")
 
             def fields_fn(p, pts, l):
                 return apply_nphm_train_pallas(p, decoder.cfg, pts, l, **kw)
 
             self._fields_fn = fields_fn
+            if self.mesh is not None:
+                # GSPMD cannot partition a pallas_call; run the kernel
+                # per-device on the local batch shard instead.  No
+                # collectives inside, so autodiff (incl. the eikonal
+                # grad-of-grad) transposes shard-locally.
+                self._fields_fn_dp = jax.shard_map(
+                    fields_fn,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                    check_vma=False,  # pallas_call out_shape carries no vma
+                )
 
         # matmul precision is a trace-time setting: "default" is
         # f32-equivalent (3-pass bf16); "bfloat16" trades one pass of
@@ -136,34 +165,73 @@ class IdentityTrainer:
                     return fn(*a, **kw)
             return wrapped
 
+        import functools
+
         self._train_step = jax.jit(
-            _with_prec(self._train_step_impl), donate_argnums=(0, 1, 2, 3)
+            _with_prec(
+                functools.partial(
+                    self._train_step_impl, fields_fn=self._fields_fn
+                )
+            ),
+            donate_argnums=(0, 1, 2, 3),
         )
         self._val_step = jax.jit(
-            _with_prec(self._val_step_impl), donate_argnums=(0, 1)
+            _with_prec(
+                functools.partial(self._val_step_impl, fields_fn=self._fields_fn)
+            ),
+            donate_argnums=(0, 1),
         )
+        self._train_step_dp = self._val_step_dp = None
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P(DATA_AXIS))
+            dp_fields = self._fields_fn_dp
+            self._train_step_dp = jax.jit(
+                _with_prec(
+                    functools.partial(self._train_step_impl, fields_fn=dp_fields)
+                ),
+                donate_argnums=(0, 1, 2, 3),
+                in_shardings=(repl, repl, repl, repl, data, repl, repl),
+                out_shardings=repl,
+            )
+            self._val_step_dp = jax.jit(
+                _with_prec(
+                    functools.partial(self._val_step_impl, fields_fn=dp_fields)
+                ),
+                donate_argnums=(0, 1),
+                in_shardings=(repl, repl, repl, data, repl),
+                out_shardings=repl,
+            )
 
     # ------------------------------------------------------------------ steps
 
-    def _loss(self, params, table, batch):
+    def _pick(self, single, dp, batch):
+        """The DP step needs the batch axis divisible by the mesh; ragged
+        trailing batches run the single-device program (identical math)."""
+        if dp is not None and batch["idx"].reshape(-1).shape[0] % self.mesh.size == 0:
+            return dp
+        return single
+
+    def _loss(self, params, table, batch, fields_fn):
         idx = batch["idx"].reshape(-1)
         lat = table[idx]
         terms = identity_sdf_loss(
             self.decoder, params, batch, lat, training=True,
             remat=self.cfg.get("remat", True),
-            fields_fn=self._fields_fn,
+            fields_fn=fields_fn,
         )
         loss = sum(self.lambdas[k] * terms[k] for k in terms)
         return loss, terms
 
-    def _train_step_impl(self, params, opt_state, table, lat_state, batch, lr, lr_lat):
+    def _train_step_impl(self, params, opt_state, table, lat_state, batch, lr,
+                         lr_lat, *, fields_fn=None):
         idx = batch["idx"].reshape(-1)
         if self.max_norm is not None:
             table = renorm_rows(table, idx, self.max_norm)
 
         (loss, terms), (g_params, g_table) = jax.value_and_grad(
             self._loss, argnums=(0, 1), has_aux=True
-        )(params, table, batch)
+        )(params, table, batch, fields_fn)
 
         if self.cfg.get("grad_clip") is not None:
             g_params, _ = clip_global_norm(g_params, self.cfg["grad_clip"])
@@ -179,12 +247,13 @@ class IdentityTrainer:
         terms["loss"] = loss
         return params, opt_state, table, lat_state, terms
 
-    def _val_step_impl(self, table, lat_state, params, batch, lr_lat):
+    def _val_step_impl(self, table, lat_state, params, batch, lr_lat, *,
+                       fields_fn=None):
         idx = batch["idx"].reshape(-1)
         if self.max_norm is not None:
             table = renorm_rows(table, idx, self.max_norm)
         (loss, terms), g_table = jax.value_and_grad(
-            lambda t: self._loss(params, t, batch), has_aux=True
+            lambda t: self._loss(params, t, batch, fields_fn), has_aux=True
         )(table)
         if self.cfg.get("grad_clip_lat") is not None:
             g_table, _ = clip_global_norm(g_table, self.cfg["grad_clip_lat"])
@@ -224,6 +293,7 @@ class IdentityTrainer:
             sums, count = {}, 0
             for batch in self.train_dataset.batch_iter(seed=epoch):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                step = self._pick(self._train_step, self._train_step_dp, batch)
                 with self._timer.step():
                     (
                         self.params,
@@ -231,7 +301,7 @@ class IdentityTrainer:
                         self.latents,
                         self.lat_state,
                         terms,
-                    ) = self._train_step(
+                    ) = step(
                         self.params, self.opt_state, self.latents,
                         self.lat_state, batch, lr, lr_lat,
                     )
@@ -263,7 +333,8 @@ class IdentityTrainer:
         sums, count = {}, 0
         for batch in self.val_dataset.batch_iter(seed=0):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.latents_val, self.lat_state_val, terms = self._val_step(
+            vstep = self._pick(self._val_step, self._val_step_dp, batch)
+            self.latents_val, self.lat_state_val, terms = vstep(
                 self.latents_val, self.lat_state_val, self.params, batch, lr_lat
             )
             count += 1

@@ -19,8 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nphm_tpu import env_paths
+from nphm_tpu.parallel.mesh import DATA_AXIS
 from nphm_tpu.models.ensemble import predict_anchors
 from nphm_tpu.reconstruction.extract import (
     deform_mesh,
@@ -57,8 +59,10 @@ class DeformationTrainer:
         shape_state: Optional[dict] = None,
         recon_resolution: int = 256,
         seed: int = 0,
+        mesh=None,
     ):
         self.decoder = decoder_expr
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self.decoder_shape = decoder_shape
         self.cfg = cfg["training"]
         self.lambdas = dict(self.cfg["lambdas"])
@@ -129,6 +133,32 @@ class DeformationTrainer:
         self._val_step = jax.jit(
             _with_prec(self._val_step_impl), donate_argnums=(0, 1)
         )
+        # multi-chip data parallelism: batch sharded over the mesh, params
+        # and latent tables replicated; XLA inserts the gradient psums from
+        # the sharding annotations (same program semantics as single-device,
+        # see tests/test_parallel_training.py)
+        self._train_step_dp = self._val_step_dp = None
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._train_step_dp = jax.jit(
+                _with_prec(self._train_step_impl),
+                donate_argnums=(0, 1, 2, 3),
+                in_shardings=(repl, repl, repl, repl, data, repl, repl, repl),
+                out_shardings=repl,
+            )
+            self._val_step_dp = jax.jit(
+                _with_prec(self._val_step_impl),
+                donate_argnums=(0, 1),
+                in_shardings=(repl, repl, repl, data, repl, repl),
+                out_shardings=repl,
+            )
+
+    def _pick(self, single, dp, batch):
+        """Ragged trailing batches run the single-device program."""
+        if dp is not None and batch["idx"].reshape(-1).shape[0] % self.mesh.size == 0:
+            return dp
+        return single
 
     # ------------------------------------------------------------------ loss
 
@@ -223,9 +253,10 @@ class DeformationTrainer:
             for batch in self.train_dataset.batch_iter(seed=epoch):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 self._rng, sub = jax.random.split(self._rng)
+                step = self._pick(self._train_step, self._train_step_dp, batch)
                 (
                     self.params, self.opt_state, self.latents, self.lat_state, terms
-                ) = self._train_step(
+                ) = step(
                     self.params, self.opt_state, self.latents, self.lat_state,
                     batch, lr, lr_lat, sub,
                 )
@@ -255,7 +286,8 @@ class DeformationTrainer:
         for batch in self.val_dataset.batch_iter(seed=0):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self._rng, sub = jax.random.split(self._rng)
-            self.latents_val, self.lat_state_val, terms = self._val_step(
+            vstep = self._pick(self._val_step, self._val_step_dp, batch)
+            self.latents_val, self.lat_state_val, terms = vstep(
                 self.latents_val, self.lat_state_val, self.params, batch, lr_lat, sub
             )
             count += 1

@@ -69,9 +69,18 @@ def main():
         log_dir=exp_dir, use_wandb=args.wandb,
         project="scanner_deformations", config=cfg,
     )
+    # multi-chip: shard the batch axis over all local devices (DP); the
+    # trainer falls back to the single-device step for ragged batches
+    mesh = None
+    if cfg["training"].get("data_parallel", True) and len(jax.devices()) > 1:
+        from nphm_tpu.parallel.mesh import get_device_mesh
+
+        mesh = get_device_mesh()
+        print(f"Data-parallel training over {mesh.size} devices")
+
     trainer = DeformationTrainer(
         decoder, params, decoder_shape, cfg, train_dataset, val_dataset,
-        args.exp_name, logger=logger, seed=args.seed,
+        args.exp_name, logger=logger, seed=args.seed, mesh=mesh,
     )
     trainer.train_model(cfg["training"].get("nepochs", 8000))
 
