@@ -154,6 +154,16 @@ class IdentityTrainer:
                     check_vma=False,  # pallas_call out_shape carries no vma
                 )
 
+        self._build_steps()
+
+    def _build_steps(self):
+        """(Re)compile the jitted train/val steps from the current
+        ``_fields_fn``/``_fields_fn_dp``.  Called once at init and again by
+        ``_disable_fused`` when the Pallas kernel fails for an unusual
+        architecture (e.g. tiny dims Mosaic rejects) — training then
+        continues on the XLA fields path."""
+        import functools
+
         # matmul precision is a trace-time setting: "default" is
         # f32-equivalent (3-pass bf16); "bfloat16" trades one pass of
         # mantissa for ~3x on the ensemble's batched-small matmuls
@@ -164,8 +174,6 @@ class IdentityTrainer:
                 with jax.default_matmul_precision(prec):
                     return fn(*a, **kw)
             return wrapped
-
-        import functools
 
         self._train_step = jax.jit(
             _with_prec(
@@ -202,6 +210,16 @@ class IdentityTrainer:
                 in_shardings=(repl, repl, repl, data, repl),
                 out_shardings=repl,
             )
+
+    def _disable_fused(self, err):
+        """Fall back to the XLA fields path after a fused-kernel failure."""
+        self.logger.print(
+            "[trainer] fused Pallas training kernel failed "
+            f"({type(err).__name__}: {str(err)[:200]}); "
+            "falling back to the XLA fields path"
+        )
+        self._fields_fn = self._fields_fn_dp = None
+        self._build_steps()
 
     # ------------------------------------------------------------------ steps
 
@@ -293,7 +311,6 @@ class IdentityTrainer:
             sums, count = {}, 0
             for batch in self.train_dataset.batch_iter(seed=epoch):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                step = self._pick(self._train_step, self._train_step_dp, batch)
                 with self._timer.step():
                     (
                         self.params,
@@ -301,10 +318,7 @@ class IdentityTrainer:
                         self.latents,
                         self.lat_state,
                         terms,
-                    ) = step(
-                        self.params, self.opt_state, self.latents,
-                        self.lat_state, batch, lr, lr_lat,
-                    )
+                    ) = self._run_train_step(batch, lr, lr_lat)
                 count += 1
                 for k, v in terms.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
@@ -326,6 +340,26 @@ class IdentityTrainer:
             avg.update({f"val_{k}": v for k, v in val.items()})
             avg.update(self._timer.metrics())
             self.logger.log(avg, step=epoch)
+
+    def _run_train_step(self, batch, lr, lr_lat):
+        """One train step; if the fused Pallas kernel fails to compile for
+        this architecture (tiny/unusual dims), rebuild on the XLA path and
+        retry (compile errors surface before any buffer is donated)."""
+        step = self._pick(self._train_step, self._train_step_dp, batch)
+        try:
+            return step(
+                self.params, self.opt_state, self.latents, self.lat_state,
+                batch, lr, lr_lat,
+            )
+        except Exception as e:  # noqa: BLE001 — relay wraps compile errors
+            if self._fields_fn is None:
+                raise
+            self._disable_fused(e)
+            step = self._pick(self._train_step, self._train_step_dp, batch)
+            return step(
+                self.params, self.opt_state, self.latents, self.lat_state,
+                batch, lr, lr_lat,
+            )
 
     def compute_val_loss(self, lr_lat):
         """Optimize validation latents with the decoder frozen

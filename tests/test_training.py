@@ -243,6 +243,31 @@ def test_identity_trainer_learns_spheres(tmp_path):
     assert gn < 0.25, f"eikonal residual {gn}"
 
 
+def test_fused_kernel_failure_falls_back_to_xla(tmp_path):
+    """If the fused Pallas training kernel fails to compile for an unusual
+    architecture (e.g. tiny dims the Mosaic compiler rejects), the trainer
+    must log, rebuild on the XLA fields path, and keep training."""
+    from nphm_tpu.training.trainer import IdentityTrainer
+
+    train_ds = SyntheticIdentityDataset(n_subjects=4, batch_size=2, seed=0)
+    dec = _npm_decoder_small()
+    tr = IdentityTrainer(
+        dec, dec.init(jax.random.PRNGKey(0)), _train_cfg(), train_ds,
+        train_ds, "fb", exp_dir=str(tmp_path), logger=MetricsLogger(quiet=True),
+    )
+
+    def boom(p, pts, l):
+        raise RuntimeError("Mosaic failed to compile TPU kernel")
+
+    tr._fields_fn = boom
+    tr._build_steps()
+    batch = next(iter(train_ds.batch_iter(seed=0)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    out = tr._run_train_step(batch, jnp.float32(1e-3), jnp.float32(1e-3))
+    assert tr._fields_fn is None  # fused path disabled after the failure
+    assert np.isfinite(float(out[-1]["loss"]))
+
+
 def test_identity_trainer_checkpoint_resume(tmp_path):
     from nphm_tpu.training.trainer import IdentityTrainer
 
