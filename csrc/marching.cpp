@@ -1,7 +1,10 @@
-// Iso-surface extraction from dense SDF grids via marching tetrahedra.
+// Iso-surface extraction from dense or sparse-block SDF grids via marching
+// tetrahedra.
 //
 // Host-side companion to the TPU grid evaluator: the device produces logits
-// for a res^3 lattice, this library produces (vertices, triangles).
+// for a res^3 lattice (dense) or for the sign-crossing subset of aligned
+// blocks (sparse two-pass extraction), this library produces
+// (vertices, triangles).
 //
 // Design notes:
 //  - Kuhn 6-tetrahedra cube subdivision around the main diagonal (0 -> 7);
@@ -12,8 +15,11 @@
 //    triangle's winding is fixed by a geometric test against the inside /
 //    outside centroids.  This removes the classic wrong-table-entry failure
 //    mode entirely.
-//  - Vertices are deduplicated on global grid-edge keys, shared across cubes.
-//  - Parallelized over z-slabs with per-thread buffers merged at the end.
+//  - Vertices are deduplicated on GLOBAL grid-edge keys, shared across cubes
+//    and across blocks — the sparse path welds block seams for free and
+//    yields the same watertight topology as the dense path.
+//  - Dense path parallelized over z-slabs, sparse path over blocks, with
+//    per-thread buffers merged at the end.
 //
 // Convention: emits the boundary of {field > iso}.  The Python wrapper
 // mirrors the reference pipeline (negated SDF logits at iso 0, see
@@ -48,19 +54,28 @@ static const int kTets[6][4] = {
 };
 
 struct Chunk {
-  std::vector<float> verts;     // xyz triplets, grid-index coordinates
+  std::vector<float> verts;     // xyz triplets, GLOBAL grid-index coordinates
   std::vector<int64_t> vkeys;   // global edge key per emitted vertex
   std::vector<int64_t> tris;    // indices into the *local* vertex list
 };
 
-struct Ctx {
-  const float* grid;
-  int rx, ry, rz;
+// A local value array embedded at a global offset of a conceptual
+// rx * ry * rz lattice.  Dense extraction uses offset 0 and local == global
+// dims; sparse blocks use their own (lx, ly, lz) window.
+struct Grid {
+  const float* data;            // [lx, ly, lz] C-contiguous local values
+  int lx, ly, lz;               // local dims
+  int64_t ox, oy, oz;           // global voxel index of local (0, 0, 0)
+  int64_t rx, ry, rz;           // global lattice dims (for edge keys)
   float iso;
 };
 
-static inline int64_t gid(const Ctx& c, int64_t x, int64_t y, int64_t z) {
-  return (x * c.ry + y) * c.rz + z;
+static inline float lval(const Grid& g, int x, int y, int z) {
+  return g.data[((int64_t)x * g.ly + y) * g.lz + z];
+}
+
+static inline int64_t gkey(const Grid& g, int x, int y, int z) {
+  return (((g.ox + x) * g.ry + (g.oy + y)) * g.rz) + (g.oz + z);
 }
 
 // Emit one triangle with winding such that its normal points from the
@@ -84,18 +99,20 @@ static inline void emit_tri(Chunk& ch, const V3 p[3], const int64_t key[3],
   }
 }
 
-static void march_slab(const Ctx& c, int z0, int z1, Chunk& ch) {
-  const int rx = c.rx, ry = c.ry, rz = c.rz;
-  const float iso = c.iso;
+// March the cells [x0, x1) x [y0, y1) x [z0, z1) of ``g`` (local coords);
+// cell (x, y, z) spans local voxels (x..x+1, y..y+1, z..z+1).
+static void march_cells(const Grid& g, int x0, int x1, int y0, int y1,
+                        int z0, int z1, Chunk& ch) {
+  const float iso = g.iso;
   // corner offsets by id = 4x+2y+z
   const int off[8][3] = {{0, 0, 0}, {0, 0, 1}, {0, 1, 0}, {0, 1, 1},
                          {1, 0, 0}, {1, 0, 1}, {1, 1, 0}, {1, 1, 1}};
-  for (int x = 0; x < rx - 1; ++x) {
-    for (int y = 0; y < ry - 1; ++y) {
-      const float* col0 = c.grid + gid(c, x, y, 0);
-      const float* col1 = c.grid + gid(c, x, y + 1, 0);
-      const float* col2 = c.grid + gid(c, x + 1, y, 0);
-      const float* col3 = c.grid + gid(c, x + 1, y + 1, 0);
+  for (int x = x0; x < x1; ++x) {
+    for (int y = y0; y < y1; ++y) {
+      const float* col0 = g.data + ((int64_t)x * g.ly + y) * g.lz;
+      const float* col1 = g.data + ((int64_t)x * g.ly + y + 1) * g.lz;
+      const float* col2 = g.data + ((int64_t)(x + 1) * g.ly + y) * g.lz;
+      const float* col3 = g.data + ((int64_t)(x + 1) * g.ly + y + 1) * g.lz;
       for (int z = z0; z < z1; ++z) {
         float v[8];
         v[0] = col0[z];     // (0,0,0)
@@ -114,11 +131,11 @@ static void march_slab(const Ctx& c, int z0, int z1, Chunk& ch) {
         if (!any_in || !any_out) continue;
 
         V3 p[8];
-        int64_t g[8];
+        int64_t gk[8];
         for (int k = 0; k < 8; ++k) {
-          p[k] = {(float)(x + off[k][0]), (float)(y + off[k][1]),
-                  (float)(z + off[k][2])};
-          g[k] = gid(c, x + off[k][0], y + off[k][1], z + off[k][2]);
+          p[k] = {(float)(g.ox + x + off[k][0]), (float)(g.oy + y + off[k][1]),
+                  (float)(g.oz + z + off[k][2])};
+          gk[k] = gkey(g, x + off[k][0], y + off[k][1], z + off[k][2]);
         }
 
         for (int t = 0; t < 6; ++t) {
@@ -138,9 +155,9 @@ static void march_slab(const Ctx& c, int z0, int z1, Chunk& ch) {
             q = {p[ga].x + tt * (p[gb].x - p[ga].x),
                  p[ga].y + tt * (p[gb].y - p[ga].y),
                  p[ga].z + tt * (p[gb].z - p[ga].z)};
-            int64_t lo = g[ga] < g[gb] ? g[ga] : g[gb];
-            int64_t hi = g[ga] < g[gb] ? g[gb] : g[ga];
-            key = lo * (int64_t)rx * ry * rz + hi;
+            int64_t lo = gk[ga] < gk[gb] ? gk[ga] : gk[gb];
+            int64_t hi = gk[ga] < gk[gb] ? gk[gb] : gk[ga];
+            key = lo * (int64_t)g.rx * g.ry * g.rz + hi;
           };
 
           // centroid of inside corners (for winding)
@@ -206,34 +223,10 @@ static void march_slab(const Ctx& c, int z0, int z1, Chunk& ch) {
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Returns 0 on success. Caller frees out_verts/out_faces with nphm_free.
-// Vertices are in grid-index coordinates (voxel units).
-int nphm_marching_tets(const float* grid, int rx, int ry, int rz, float iso,
-                       float** out_verts, int64_t* n_verts,
-                       int32_t** out_faces, int64_t* n_faces) {
-  Ctx ctx{grid, rx, ry, rz, iso};
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads = hw ? (int)hw : 4;
-  if (n_threads > rz - 1) n_threads = rz - 1;
-  if (n_threads < 1) n_threads = 1;
-
-  std::vector<Chunk> chunks(n_threads);
-  std::vector<std::thread> threads;
-  int per = (rz - 1 + n_threads - 1) / n_threads;
-  for (int i = 0; i < n_threads; ++i) {
-    int z0 = i * per;
-    int z1 = z0 + per < rz - 1 ? z0 + per : rz - 1;
-    if (z0 >= z1) { continue; }
-    threads.emplace_back(march_slab, std::cref(ctx), z0, z1,
-                         std::ref(chunks[i]));
-  }
-  for (auto& t : threads) t.join();
-
-  // merge with global vertex dedup on edge keys
+// Merge per-thread chunks with global vertex dedup on edge keys.
+static int merge_chunks(std::vector<Chunk>& chunks, float** out_verts,
+                        int64_t* n_verts, int32_t** out_faces,
+                        int64_t* n_faces) {
   std::unordered_map<int64_t, int32_t> vmap;
   size_t tot_tris = 0;
   for (auto& ch : chunks) tot_tris += ch.tris.size() / 3;
@@ -278,6 +271,78 @@ int nphm_marching_tets(const float* grid, int rx, int ry, int rz, float iso,
   std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
   std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller frees out_verts/out_faces with nphm_free.
+// Vertices are in grid-index coordinates (voxel units).
+int nphm_marching_tets(const float* grid, int rx, int ry, int rz, float iso,
+                       float** out_verts, int64_t* n_verts,
+                       int32_t** out_faces, int64_t* n_faces) {
+  Grid g{grid, rx, ry, rz, 0, 0, 0, rx, ry, rz, iso};
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = hw ? (int)hw : 4;
+  if (n_threads > rz - 1) n_threads = rz - 1;
+  if (n_threads < 1) n_threads = 1;
+
+  std::vector<Chunk> chunks(n_threads);
+  std::vector<std::thread> threads;
+  int per = (rz - 1 + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int z0 = i * per;
+    int z1 = z0 + per < rz - 1 ? z0 + per : rz - 1;
+    if (z0 >= z1) { continue; }
+    threads.emplace_back(march_cells, std::cref(g), 0, rx - 1, 0, ry - 1,
+                         z0, z1, std::ref(chunks[i]));
+  }
+  for (auto& t : threads) t.join();
+  return merge_chunks(chunks, out_verts, n_verts, out_faces, n_faces);
+}
+
+// Sparse-block marching: ``blocks`` is [n_blocks, bsx+1, bsy+1, bsz+1]
+// (each block's owned voxels plus a +1 halo plane per axis), ``offsets`` is
+// [n_blocks, 3] global voxel origins (multiples of the block shape).  Cells
+// are owned by the block containing their min corner; cells at or beyond
+// the global lattice boundary (rx, ry, rz) are skipped.  Edge keys are
+// global, so vertices on block seams weld exactly and the result matches
+// the dense path wherever the dense path would emit geometry.
+int nphm_marching_tets_blocks(const float* blocks, const int32_t* offsets,
+                              int64_t n_blocks, int bsx, int bsy, int bsz,
+                              int64_t rx, int64_t ry, int64_t rz, float iso,
+                              float** out_verts, int64_t* n_verts,
+                              int32_t** out_faces, int64_t* n_faces) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = hw ? (int)hw : 4;
+  if ((int64_t)n_threads > n_blocks) n_threads = (int)(n_blocks ? n_blocks : 1);
+
+  const int lx = bsx + 1, ly = bsy + 1, lz = bsz + 1;
+  const int64_t block_sz = (int64_t)lx * ly * lz;
+
+  std::vector<Chunk> chunks(n_threads);
+  std::atomic<int64_t> next(0);
+  auto worker = [&](int ti) {
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_blocks) break;
+      Grid g{blocks + b * block_sz, lx, ly, lz,
+             offsets[3 * b], offsets[3 * b + 1], offsets[3 * b + 2],
+             rx, ry, rz, iso};
+      // clamp owned cells at the global lattice boundary
+      int cx = bsx, cy = bsy, cz = bsz;
+      if (g.ox + cx > rx - 1) cx = (int)(rx - 1 - g.ox);
+      if (g.oy + cy > ry - 1) cy = (int)(ry - 1 - g.oy);
+      if (g.oz + cz > rz - 1) cz = (int)(rz - 1 - g.oz);
+      if (cx <= 0 || cy <= 0 || cz <= 0) continue;
+      march_cells(g, 0, cx, 0, cy, 0, cz, chunks[ti]);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 0; i < n_threads; ++i) threads.emplace_back(worker, i);
+  for (auto& t : threads) t.join();
+  return merge_chunks(chunks, out_verts, n_verts, out_faces, n_faces);
 }
 
 void nphm_free(void* p) { std::free(p); }

@@ -74,8 +74,10 @@ class FittingConfig:
     seed: int = 0
     # XLA matmul precision inside the fit loop.  "default" (f32-equivalent,
     # 3-pass bf16) matches the reference's true-f32 torch matmuls;
-    # "bfloat16" (single pass, TF32-class) is ~3x faster on the fit's
-    # small batched matmuls and converges to the same clamped-|sdf| floor.
+    # "bfloat16" (single pass) converges to the same clamped-|sdf| floor but
+    # buys only ~4% end-to-end (measured 9.7->9.3 s per 1000-step 20-obs fit
+    # on a v5e): the loop is latency-bound on the 15-iteration sequential
+    # Broyden search, not matmul-bound.
     matmul_precision: str = "default"
 
     @property

@@ -53,6 +53,56 @@ def marching_tets(grid: np.ndarray, iso: float = 0.0):
     return verts, faces
 
 
+def marching_tets_blocks(
+    blocks: np.ndarray,
+    offsets: np.ndarray,
+    global_dims,
+    iso: float = 0.0,
+):
+    """Sparse-block extraction: boundary of {field > iso} over aligned blocks.
+
+    blocks: [K, bsx+1, bsy+1, bsz+1] float32 — each block's owned voxels plus
+    one halo plane per axis.  offsets: [K, 3] int32 global voxel origins.
+    global_dims: (rx, ry, rz) of the conceptual dense lattice (cells at the
+    boundary are clamped; edge keys are global, so block seams weld exactly).
+    Returns (vertices [V, 3] float32 in GLOBAL grid-index coords, faces [F, 3]).
+    """
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    if blocks.ndim != 4 or offsets.shape != (blocks.shape[0], 3):
+        raise ValueError(f"bad shapes: {blocks.shape}, {offsets.shape}")
+    lib = get_lib()
+    vp = ctypes.POINTER(ctypes.c_float)()
+    fp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.nphm_marching_tets_blocks(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        blocks.shape[0],
+        blocks.shape[1] - 1,
+        blocks.shape[2] - 1,
+        blocks.shape[3] - 1,
+        int(global_dims[0]),
+        int(global_dims[1]),
+        int(global_dims[2]),
+        ctypes.c_float(iso),
+        ctypes.byref(vp),
+        ctypes.byref(nv),
+        ctypes.byref(fp),
+        ctypes.byref(nf),
+    )
+    if rc != 0:
+        raise RuntimeError(f"marching_tets_blocks failed with code {rc}")
+    try:
+        verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy() if nv.value else np.zeros((0, 3), np.float32)
+        faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy() if nf.value else np.zeros((0, 3), np.int32)
+    finally:
+        lib.nphm_free(vp)
+        lib.nphm_free(fp)
+    return verts, faces
+
+
 def mesh_from_logits(logits: np.ndarray, mini, maxi, resolution: int) -> Mesh:
     """SDF logits (flattened res^3, negative inside) -> world-space mesh."""
     logits = np.reshape(np.asarray(logits, np.float32), (resolution,) * 3)

@@ -4,7 +4,9 @@ from nphm_tpu.reconstruction.extract import (
     get_logits_backward,
     deform_mesh,
     extract_mesh,
+    extract_mesh_streamed,
 )
+from nphm_tpu.reconstruction.sparse import extract_mesh_sparse
 
 __all__ = [
     "make_point_evaluator",
@@ -12,4 +14,6 @@ __all__ = [
     "get_logits_backward",
     "deform_mesh",
     "extract_mesh",
+    "extract_mesh_streamed",
+    "extract_mesh_sparse",
 ]

@@ -1,0 +1,341 @@
+"""Sparse two-pass mesh extraction: O(surface) instead of O(volume).
+
+The reference extracts meshes by evaluating the FULL res^3 lattice and
+running dense marching cubes (reference ``models/reconstruction.py:6-25`` +
+``utils/reconstruction.py:22-37``).  At res 400 that is 64M network
+evaluations, a 128-256 MB device->host transfer, and a 64M-voxel marching
+pass — while the iso-surface itself crosses only ~1-2% of the volume.
+
+This module exploits the SDF structure (eikonal training keeps |grad f|
+near 1) to do O(surface) work in three phases, all sized for the TPU:
+
+1. **Coarse pass** (device): evaluate a 4x-strided lattice, grouped so each
+   fine (8, 8, 16) block owns 2x2x4 coarse samples; reduce to per-block
+   (min, max).  A block can contain a zero crossing only if
+   ``min |f| < lip * r_cov`` where ``r_cov`` is the cover radius of its
+   sample grid — every other block is *provably* sign-constant for any
+   field with Lipschitz constant <= ``lip``.
+2. **Fine pass** (device): evaluate ONLY candidate blocks.  Each block is
+   exactly one 1024-point kernel tile ((8, 8, 16) voxels), so the fused
+   ensemble kernel's per-tile member culling fires at full strength.  The
+   per-block (min, max) is reduced on device; the block field data stays
+   on device.
+3. **Sparse transfer + marching** (host): pull only blocks whose
+   neighborhood (block + its 7 "+"-side neighbors) straddles the iso level
+   — exactly the blocks whose owned cells can cross — assemble them with
+   one halo plane per axis (real data from transferred neighbors,
+   sign-correct fill from (min+max)/2 elsewhere), and triangulate with the
+   native sparse-block marching-tetrahedra kernel
+   (``csrc/marching.cpp::nphm_marching_tets_blocks``), whose global edge
+   keys weld block seams exactly.
+
+The result is bit-identical to the dense path wherever the Lipschitz
+assumption holds (verified in tests/test_sparse_extract.py with
+``cull_eps=0``), at a fraction of the eval FLOPs, transfer bytes, and
+marching time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nphm_tpu.ops.marching import marching_tets_blocks
+from nphm_tpu.utils.mesh_io import Mesh as TriMesh
+
+BLOCK = (8, 8, 16)  # fine voxels per block == one 1024-point kernel tile
+COARSE = (4, 4, 4)  # coarse sample stride (per block: 2 x 2 x 4 samples)
+_TILE = BLOCK[0] * BLOCK[1] * BLOCK[2]
+
+
+def _axes(mini, maxi, res):
+    return [
+        jnp.linspace(mini[i], maxi[i], res, dtype=jnp.float32)
+        for i in range(3)
+    ]
+
+
+def _block_grid(res):
+    return (res // BLOCK[0], res // BLOCK[1], res // BLOCK[2])
+
+
+def _block_points(axes, block_ids, nb, local_off):
+    """Voxel-lattice points for each block id at the given local offsets.
+
+    block_ids: [K] linear block indices b = (bi * nby + bj) * nbz + bk.
+    local_off: [(3,), n_local] int32 local voxel offsets.
+    Returns [K * n_local, 3] float32, block-major.
+    """
+    nbx, nby, nbz = nb
+    bi = block_ids // (nby * nbz)
+    bj = (block_ids // nbz) % nby
+    bk = block_ids % nbz
+    base = jnp.stack(
+        [bi * BLOCK[0], bj * BLOCK[1], bk * BLOCK[2]], axis=-1
+    )  # [K, 3]
+    idx = base[:, None, :] + local_off.T[None, :, :]  # [K, L, 3]
+    pts = jnp.stack(
+        [axes[d][idx[..., d]] for d in range(3)], axis=-1
+    )  # [K, L, 3]
+    return pts.reshape(-1, 3)
+
+
+def _fine_offsets():
+    """Local (x, y, z) offsets of a block's voxels, z-minor (kernel order)."""
+    lx = np.arange(_TILE, dtype=np.int32)
+    x = lx // (BLOCK[1] * BLOCK[2])
+    y = (lx // BLOCK[2]) % BLOCK[1]
+    z = lx % BLOCK[2]
+    return jnp.asarray(np.stack([x, y, z]))  # [3, 1024]
+
+
+def _coarse_offsets():
+    """Local offsets of a block's coarse samples (2 x 2 x 4, stride 4,
+    centered: covers the block + halo region with radius ||2h||)."""
+    gx = np.arange(2, BLOCK[0], COARSE[0], dtype=np.int32)  # [2, 6]
+    gy = np.arange(2, BLOCK[1], COARSE[1], dtype=np.int32)
+    gz = np.arange(2, BLOCK[2], COARSE[2], dtype=np.int32)  # [2, 6, 10, 14]
+    X, Y, Z = np.meshgrid(gx, gy, gz, indexing="ij")
+    return jnp.asarray(
+        np.stack([X.ravel(), Y.ravel(), Z.ravel()]).astype(np.int32)
+    )  # [3, 16]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "mini", "maxi", "res", "interpret", "kw_items"),
+)
+def _coarse_run(cfg, mini, maxi, res, interpret, kw_items, params, lat):
+    """Per-block (min, max) over each block's coarse samples: [n_blocks, 2]."""
+    from nphm_tpu.ops.pallas_ensemble import nphm_sdf_pallas
+
+    nb = _block_grid(res)
+    n_blocks = nb[0] * nb[1] * nb[2]
+    off = _coarse_offsets()
+    n_local = off.shape[1]
+    ids = jnp.arange(n_blocks, dtype=jnp.int32)
+    pts = _block_points(_axes(mini, maxi, res), ids, nb, off)
+    sdf = nphm_sdf_pallas(
+        params, cfg, pts, lat, tile=_TILE, interpret=interpret,
+        **dict(kw_items),
+    ).reshape(n_blocks, n_local)
+    return jnp.stack([sdf.min(axis=1), sdf.max(axis=1)], axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "mini", "maxi", "res", "interpret", "transfer_dtype",
+        "kw_items",
+    ),
+)
+def _fine_run(
+    cfg, mini, maxi, res, interpret, transfer_dtype, kw_items, params, lat,
+    block_ids,
+):
+    """Fine field of the candidate blocks.
+
+    block_ids: [K] (padded to a bucket size by repeating id 0 — padding
+    rows are discarded on the host).  Returns (data [K, 8, 8, 16] in
+    ``transfer_dtype``, minmax [K, 2] f32).  ``data`` is NOT transferred by
+    this call — the host pulls only the straddling subset via ``_gather``.
+    """
+    from nphm_tpu.ops.pallas_ensemble import nphm_sdf_pallas
+
+    nb = _block_grid(res)
+    pts = _block_points(_axes(mini, maxi, res), block_ids, nb, _fine_offsets())
+    sdf = nphm_sdf_pallas(
+        params, cfg, pts, lat, tile=_TILE, interpret=interpret,
+        **dict(kw_items),
+    ).reshape(block_ids.shape[0], _TILE)
+    minmax = jnp.stack([sdf.min(axis=1), sdf.max(axis=1)], axis=-1)
+    data = sdf.reshape(-1, *BLOCK)
+    if transfer_dtype is not None:
+        data = data.astype(jnp.dtype(transfer_dtype))
+    return data, minmax
+
+
+@jax.jit
+def _gather(data, rows):
+    return data[rows]
+
+
+def _bucket(n: int, lo: int = 256) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _assemble(sel_ids, data, fill_of, nb, res):
+    """[K, 9, 9, 17] blocks with +1 halo planes: real data where the
+    neighbor block was transferred, sign-correct fill elsewhere.
+
+    sel_ids: [K] linear ids of transferred blocks; data: [K, 8, 8, 16] f32;
+    fill_of: [n_blocks] f32 sign-correct fill value per block (clamped
+    lookups beyond the lattice return +inf-like outside values).
+    """
+    nbx, nby, nbz = nb
+    K = len(sel_ids)
+    bx, by, bz = BLOCK
+    idx_map = np.full((nbx + 1, nby + 1, nbz + 1), -1, np.int64)
+    bi = sel_ids // (nby * nbz)
+    bj = (sel_ids // nbz) % nby
+    bk = sel_ids % nbz
+    idx_map[bi, bj, bk] = np.arange(K)
+
+    fill = np.full((nbx + 1, nby + 1, nbz + 1), 1e9, np.float32)
+    fill[:nbx, :nby, :nbz] = fill_of.reshape(nbx, nby, nbz)
+
+    full = np.empty((K, bx + 1, by + 1, bz + 1), np.float32)
+    full[:, :bx, :by, :bz] = data
+
+    # (di, dj, dk, destination slices, source slices of the neighbor block)
+    sides = [
+        ((1, 0, 0), np.s_[bx, :by, :bz], np.s_[0, :, :]),
+        ((0, 1, 0), np.s_[:bx, by, :bz], np.s_[:, 0, :]),
+        ((0, 0, 1), np.s_[:bx, :by, bz], np.s_[:, :, 0]),
+        ((1, 1, 0), np.s_[bx, by, :bz], np.s_[0, 0, :]),
+        ((1, 0, 1), np.s_[bx, :by, bz], np.s_[0, :, 0]),
+        ((0, 1, 1), np.s_[:bx, by, bz], np.s_[:, 0, 0]),
+        ((1, 1, 1), np.s_[bx, by, bz], np.s_[0, 0, 0]),
+    ]
+    for (di, dj, dk), dst, src in sides:
+        ni, nj, nk = bi + di, bj + dj, bk + dk
+        n_idx = idx_map[ni, nj, nk]
+        have = n_idx >= 0
+        # default: neighbor's fill value (sign-only role; those cells are
+        # provably crossing-free)
+        full[(slice(None),) + (dst if isinstance(dst, tuple) else (dst,))] = (
+            fill[ni, nj, nk].reshape((K,) + (1,) * (full[(0,) + dst].ndim))
+        )
+        if have.any():
+            ks = np.nonzero(have)[0]
+            full[(ks,) + dst] = data[(n_idx[have],) + src]
+    return full, np.stack([bi * bx, bj * by, bk * bz], axis=-1).astype(np.int32)
+
+
+def extract_mesh_sparse(
+    decoder,
+    params,
+    encoding,
+    mini=(-0.55, -0.5, -0.95),
+    maxi=(0.55, 0.75, 0.4),
+    resolution: int = 256,
+    lip: float = 2.0,
+    transfer_dtype=None,
+    interpret: Optional[bool] = None,
+    stats: Optional[dict] = None,
+    **kernel_kw,
+) -> TriMesh:
+    """Sparse two-pass extraction (NPHM ensemble decoders, res % 16 == 0).
+
+    lip: Lipschitz bound of the field used for the coarse-pass margin.  An
+    eikonal-trained SDF has |grad f| ~= 1; the default 2.0 doubles that as
+    safety.  Raising it enlarges the candidate set (slower, safer); a value
+    below the field's true constant can miss surface in blocks whose coarse
+    samples all read far.  ``lip=inf`` degenerates to dense evaluation.
+
+    transfer_dtype: e.g. np.float16 halves the (already sparse) pull.
+    stats: optional dict that receives candidate/transfer counts.
+    Falls back to ``extract_mesh`` for non-NPHM decoders or indivisible
+    resolutions.
+    """
+    res = int(resolution)
+    if decoder.kind != "nphm" or res % 16 or res < 32:
+        from nphm_tpu.reconstruction.extract import extract_mesh
+
+        return extract_mesh(decoder, params, encoding, mini, maxi, res)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    lat = jnp.asarray(encoding, jnp.float32).reshape(-1)
+    mini = tuple(float(x) for x in mini)
+    maxi = tuple(float(x) for x in maxi)
+    nb = _block_grid(res)
+    n_blocks = nb[0] * nb[1] * nb[2]
+    kw_items = tuple(sorted(kernel_kw.items()))
+
+    # --- phase 1: coarse pass + margin selection
+    cmm = np.asarray(
+        _coarse_run(decoder.cfg, mini, maxi, res, interpret, kw_items,
+                    params, lat)
+    )  # [n_blocks, 2]
+    h = (np.asarray(maxi) - np.asarray(mini)) / (res - 1)
+    r_cov = float(np.linalg.norm(np.asarray(COARSE) / 2.0 * h))
+    margin = float(lip) * r_cov
+    min_abs = np.where(
+        (cmm[:, 0] <= 0.0) & (cmm[:, 1] >= 0.0),
+        0.0,
+        np.minimum(np.abs(cmm[:, 0]), np.abs(cmm[:, 1])),
+    )
+    cand = np.nonzero(min_abs < margin)[0].astype(np.int32)
+    if len(cand) == 0:
+        return TriMesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+
+    # --- phase 2: fine pass over candidates (bucketed for compile reuse)
+    bucket = _bucket(len(cand))
+    ids = np.zeros(bucket, np.int32)
+    ids[: len(cand)] = cand
+    tdt = None if transfer_dtype is None else np.dtype(transfer_dtype).name
+    data_dev, minmax_dev = _fine_run(
+        decoder.cfg, mini, maxi, res, interpret, tdt, kw_items, params, lat,
+        jnp.asarray(ids),
+    )
+    fmm = np.asarray(minmax_dev)[: len(cand)]  # small transfer
+
+    # --- phase 3: straddle test over block + 7 "+"-side neighbors
+    nbx, nby, nbz = nb
+    mn = np.full((nbx + 1, nby + 1, nbz + 1), np.float32(np.inf))
+    mx = np.full((nbx + 1, nby + 1, nbz + 1), np.float32(-np.inf))
+    ci = cand // (nby * nbz)
+    cj = (cand // nbz) % nby
+    ck = cand % nbz
+    mn[ci, cj, ck] = fmm[:, 0]
+    mx[ci, cj, ck] = fmm[:, 1]
+    u_mn = np.full((nbx, nby, nbz), np.float32(np.inf))
+    u_mx = np.full((nbx, nby, nbz), np.float32(-np.inf))
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                blk_mn = mn[di : di + nbx, dj : dj + nby, dk : dk + nbz]
+                blk_mx = mx[di : di + nbx, dj : dj + nby, dk : dk + nbz]
+                np.minimum(u_mn, blk_mn, out=u_mn)
+                np.maximum(u_mx, blk_mx, out=u_mx)
+    straddle = (u_mn <= 0.0) & (u_mx >= 0.0)
+    sel_mask = np.zeros(n_blocks, bool)
+    sel_mask[cand] = straddle.reshape(-1)[cand]
+    sel = np.nonzero(sel_mask)[0]
+    if stats is not None:
+        stats.update(
+            n_blocks=n_blocks, n_candidates=int(len(cand)),
+            n_transferred=int(len(sel)),
+        )
+    if len(sel) == 0:
+        return TriMesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+
+    # pull ONLY the straddling blocks (bucketed gather)
+    pos_in_cand = np.searchsorted(cand, sel).astype(np.int32)
+    gb = _bucket(len(sel))
+    rows = np.zeros(gb, np.int32)
+    rows[: len(sel)] = pos_in_cand
+    data = np.asarray(_gather(data_dev, jnp.asarray(rows)), np.float32)[
+        : len(sel)
+    ]
+
+    # sign-correct fill per block: fine (min+max)/2 for candidates, coarse
+    # midpoint for the rest (both provably crossing-free where used)
+    fill_of = ((cmm[:, 0] + cmm[:, 1]) * 0.5).astype(np.float32)
+    fill_of[cand] = (fmm[:, 0] + fmm[:, 1]) * 0.5
+
+    full, offsets = _assemble(sel, data, fill_of, nb, res)
+    verts, faces = marching_tets_blocks(-full, offsets, (res, res, res), 0.0)
+    step = (np.asarray(maxi, np.float32) - np.asarray(mini, np.float32)) / (
+        res - 1
+    )
+    verts = verts * step[None, :] + np.asarray(mini, np.float32)[None, :]
+    return TriMesh(verts.astype(np.float32), faces.astype(np.int64))

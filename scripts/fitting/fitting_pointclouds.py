@@ -166,10 +166,21 @@ def _export_subject(args, out_dir, decoder_shape, params_shape, decoder_expr,
                     lat_shape, anchors):
     from nphm_tpu.reconstruction.extract import extract_mesh
 
-    mesh_can = extract_mesh(
-        decoder_shape, params_shape, lat_shape, GRID_MIN, GRID_MAX,
-        args.resolution, chunk_size=args.batch_points, evaluator=sdf_eval,
-    )
+    if getattr(args, "sparse", False):
+        # sparse two-pass extraction: O(surface) eval/transfer/marching.
+        # Sound for eikonal-trained SDFs; -sparse_lip bounds |grad f|.
+        from nphm_tpu.reconstruction.sparse import extract_mesh_sparse
+
+        mesh_can = extract_mesh_sparse(
+            decoder_shape, params_shape, lat_shape, GRID_MIN, GRID_MAX,
+            args.resolution, lip=args.sparse_lip,
+            transfer_dtype=np.float16,
+        )
+    else:
+        mesh_can = extract_mesh(
+            decoder_shape, params_shape, lat_shape, GRID_MIN, GRID_MAX,
+            args.resolution, chunk_size=args.batch_points, evaluator=sdf_eval,
+        )
     for i, expr_ind in enumerate(inds):
         mesh = deform_mesh(
             mesh_can, decoder_expr, params_expr, lat_expr[i][None],
@@ -200,6 +211,14 @@ def main():
     parser.add_argument(
         "-batch_subjects", type=int, default=1,
         help="fit this many subjects per vmapped batch (TPU throughput)",
+    )
+    parser.add_argument(
+        "-sparse", action="store_true",
+        help="sparse two-pass extraction (O(surface); eikonal-trained SDFs)",
+    )
+    parser.add_argument(
+        "-sparse_lip", type=float, default=2.0,
+        help="Lipschitz bound for the sparse coarse-pass margin",
     )
     args, _ = parser.parse_known_args()
 
