@@ -329,13 +329,17 @@ def main():
                 )
             ).reshape(res_p, res_p, res_p)
             hh = (np.asarray(GRID_MAX) - np.asarray(GRID_MIN)) / (res_p - 1)
+            # Euclidean bound: sup||grad f||^2 <= sum_d sup|df/dx_d|^2;
+            # capped for timing realism (an eikonal-trained SDF has ~1)
             lip = float(
-                max(
-                    np.abs(np.diff(lp, axis=dd)).max() / hh[dd]
-                    for dd in range(3)
+                np.sqrt(
+                    sum(
+                        (np.abs(np.diff(lp, axis=dd)).max() / hh[dd]) ** 2
+                        for dd in range(3)
+                    )
                 )
             )
-            lip = min(lip, 3.0) * 1.5
+            lip = min(lip, 4.0) * 1.25
             for res in (256, 400):
                 if res == 400 and os.environ.get("BENCH_NO_R400") == "1":
                     continue
@@ -362,7 +366,10 @@ def main():
     if os.environ.get("BENCH_NO_MULTI") != "1":
         extra["multichip"] = _bench_multichip()
 
-    if os.environ.get("BENCH_FULL") == "1":
+    if os.environ.get("BENCH_NO_FIT") != "1":
+        # driver metric #3 (BASELINE.json): fitting iterations/sec through
+        # the production joint-fit engine (Broyden correspondences + IFT
+        # gradients + two Adam updates, ONE compiled lax.scan)
         from nphm_tpu.fitting import FittingConfig, fit_joint
         from nphm_tpu.models import DeformationConfig, make_deformation_decoder
 

@@ -159,6 +159,57 @@ def _fine_run(
     return data, minmax
 
 
+def _chunked_apply(decoder, params, lat, pts, chunk=1 << 15):
+    """Device-side chunked XLA eval of a point list: [M, 3] -> [M]."""
+
+    def body(p):
+        sdf, _ = decoder.apply(params, p[None], lat[None], training=False)
+        return sdf[0, :, 0]
+
+    m = pts.shape[0]
+    pad = (-m) % chunk
+    if pad:
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], axis=0)
+    out = jax.lax.map(body, pts.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:m]
+
+
+@partial(
+    jax.jit, static_argnames=("decoder", "mini", "maxi", "res")
+)
+def _coarse_run_xla(decoder, mini, maxi, res, params, lat):
+    """XLA-path coarse pass for decoders without a fused grid kernel
+    (NPM global DeepSDF — its large trunk runs near peak on plain XLA,
+    see ops/pallas_mlp.py docstring measurements)."""
+    nb = _block_grid(res)
+    n_blocks = nb[0] * nb[1] * nb[2]
+    off = _coarse_offsets()
+    ids = jnp.arange(n_blocks, dtype=jnp.int32)
+    pts = _block_points(_axes(mini, maxi, res), ids, nb, off)
+    sdf = _chunked_apply(decoder, params, lat, pts).reshape(
+        n_blocks, off.shape[1]
+    )
+    return jnp.stack([sdf.min(axis=1), sdf.max(axis=1)], axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("decoder", "mini", "maxi", "res", "transfer_dtype"),
+)
+def _fine_run_xla(decoder, mini, maxi, res, transfer_dtype, params, lat,
+                  block_ids):
+    nb = _block_grid(res)
+    pts = _block_points(_axes(mini, maxi, res), block_ids, nb, _fine_offsets())
+    sdf = _chunked_apply(decoder, params, lat, pts).reshape(
+        block_ids.shape[0], _TILE
+    )
+    minmax = jnp.stack([sdf.min(axis=1), sdf.max(axis=1)], axis=-1)
+    data = sdf.reshape(-1, *BLOCK)
+    if transfer_dtype is not None:
+        data = data.astype(jnp.dtype(transfer_dtype))
+    return data, minmax
+
+
 @jax.jit
 def _gather(data, rows):
     return data[rows]
@@ -232,7 +283,7 @@ def extract_mesh_sparse(
     stats: Optional[dict] = None,
     **kernel_kw,
 ) -> TriMesh:
-    """Sparse two-pass extraction (NPHM ensemble decoders, res % 16 == 0).
+    """Sparse two-pass extraction (NPHM ensemble + NPM decoders, res % 16 == 0).
 
     lip: Lipschitz bound of the field used for the coarse-pass margin.  An
     eikonal-trained SDF has |grad f| ~= 1; the default 2.0 doubles that as
@@ -246,12 +297,16 @@ def extract_mesh_sparse(
     resolutions.
     """
     res = int(resolution)
-    if decoder.kind != "nphm" or res % 16 or res < 32:
+    if decoder.kind not in ("nphm", "npm") or res % 16 or res < 32:
         from nphm_tpu.reconstruction.extract import extract_mesh
 
         return extract_mesh(decoder, params, encoding, mini, maxi, res)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # NPHM ensemble -> fused Pallas kernel (per-tile member culling);
+    # NPM global trunk -> chunked XLA (measured faster than the
+    # layer-streamed kernel, see ops/pallas_mlp.py)
+    use_pallas = decoder.kind == "nphm"
 
     lat = jnp.asarray(encoding, jnp.float32).reshape(-1)
     mini = tuple(float(x) for x in mini)
@@ -261,10 +316,13 @@ def extract_mesh_sparse(
     kw_items = tuple(sorted(kernel_kw.items()))
 
     # --- phase 1: coarse pass + margin selection
-    cmm = np.asarray(
-        _coarse_run(decoder.cfg, mini, maxi, res, interpret, kw_items,
-                    params, lat)
-    )  # [n_blocks, 2]
+    if use_pallas:
+        cmm_dev = _coarse_run(
+            decoder.cfg, mini, maxi, res, interpret, kw_items, params, lat
+        )
+    else:
+        cmm_dev = _coarse_run_xla(decoder, mini, maxi, res, params, lat)
+    cmm = np.asarray(cmm_dev)  # [n_blocks, 2]
     h = (np.asarray(maxi) - np.asarray(mini)) / (res - 1)
     r_cov = float(np.linalg.norm(np.asarray(COARSE) / 2.0 * h))
     margin = float(lip) * r_cov
@@ -282,10 +340,15 @@ def extract_mesh_sparse(
     ids = np.zeros(bucket, np.int32)
     ids[: len(cand)] = cand
     tdt = None if transfer_dtype is None else np.dtype(transfer_dtype).name
-    data_dev, minmax_dev = _fine_run(
-        decoder.cfg, mini, maxi, res, interpret, tdt, kw_items, params, lat,
-        jnp.asarray(ids),
-    )
+    if use_pallas:
+        data_dev, minmax_dev = _fine_run(
+            decoder.cfg, mini, maxi, res, interpret, tdt, kw_items, params,
+            lat, jnp.asarray(ids),
+        )
+    else:
+        data_dev, minmax_dev = _fine_run_xla(
+            decoder, mini, maxi, res, tdt, params, lat, jnp.asarray(ids)
+        )
     fmm = np.asarray(minmax_dev)[: len(cand)]  # small transfer
 
     # --- phase 3: straddle test over block + 7 "+"-side neighbors
@@ -306,9 +369,23 @@ def extract_mesh_sparse(
                 blk_mx = mx[di : di + nbx, dj : dj + nby, dk : dk + nbz]
                 np.minimum(u_mn, blk_mn, out=u_mn)
                 np.maximum(u_mx, blk_mx, out=u_mx)
-    straddle = (u_mn <= 0.0) & (u_mx >= 0.0)
+    # straddle_own[m]: some cell OWNED by m may cross (its corners live in
+    # m and m's +side neighbors).  A block's DATA is needed if it or any
+    # minus-side neighbor owns a crossing cell — otherwise a crossing
+    # cell's halo corner would be read from the sign-only fill and the
+    # crossing position would be wrong.  (Crossing corners always lie in
+    # candidate blocks, so needed blocks are always candidates.)
+    straddle_own = (u_mn <= 0.0) & (u_mx >= 0.0)
+    need = np.zeros_like(straddle_own)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                src = straddle_own[
+                    : nbx - di or None, : nby - dj or None, : nbz - dk or None
+                ]
+                need[di:, dj:, dk:] |= src
     sel_mask = np.zeros(n_blocks, bool)
-    sel_mask[cand] = straddle.reshape(-1)[cand]
+    sel_mask[cand] = need.reshape(-1)[cand]
     sel = np.nonzero(sel_mask)[0]
     if stats is not None:
         stats.update(
