@@ -10,6 +10,9 @@ Behavioral spec: reference ``src/NPHM/models/loss_functions.py``:
 - ``deformation_loss`` == ``compute_loss_corresp_forward`` (:282-322):
   MSE(neutral + delta, posed) correspondence loss, expression-latent L2, and
   a zero-deformation prior at random points in [-1.25, 1.25]^3.
+- ``joint_loss`` == ``loss_joint`` (:113-279): the joint two-network loss
+  (dead code in the reference — no call sites — ported for surface
+  completeness and torch-parity tested).
 
 TPU-first: the four point sets of the identity loss are concatenated into one
 decoder call + one gradient pass (the reference runs four separate
@@ -127,6 +130,176 @@ def identity_sdf_loss(
         symm, middle = latent_pair_consistency(decoder, lat)
         out["symm_dist"] = symm
         out["middle_dist"] = middle
+    return out
+
+
+def _masked_concat_mean(parts):
+    """Mean over a virtual concatenation of (values, mask) groups — the
+    jittable equivalent of the reference's ``torch.cat([...]).mean()`` over
+    data-dependent row subsets.  mask=None means all rows count."""
+    total = 0.0
+    count = 0.0
+    for values, mask in parts:
+        if mask is None:
+            total = total + jnp.sum(values)
+            count = count + values.size
+        else:
+            per_row = values.reshape(values.shape[0], -1)
+            m = mask.reshape(-1, 1).astype(per_row.dtype)
+            total = total + jnp.sum(per_row * m)
+            count = count + jnp.sum(m) * per_row.shape[1]
+    return total / jnp.maximum(count, 1.0)
+
+
+def joint_loss(
+    decoder_shape,
+    params_shape,
+    decoder_expr,
+    params_expr,
+    batch: Dict[str, jnp.ndarray],
+    lat_shape: jnp.ndarray,
+    lat_expr: jnp.ndarray,
+    epoch: int,
+    rng: jax.Array,
+    *,
+    training: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Joint two-network training loss (reference loss_functions.py:113-279
+    ``loss_joint`` — present in the reference's public loss surface but
+    never called by its pipelines; ported for completeness).
+
+    Supervises the identity SDF through the backward composition
+    ``shape(posed + expr_delta(posed))`` on posed-space surface points, with
+    neutral-scan-only back-of-head/off-surface terms, an off-surface SDF
+    target, canonical far-space eikonal/repulsion, latent and symmetry
+    regularizers, anchor supervision, epoch-gated correspondence loss
+    (x0.25 after epoch 750, off from 3000), the zero-deformation prior, and
+    a neutral-scan zero-deformation term.
+
+    batch keys: points_surface/normals_surface [B,N,3], points_surface_outer/
+    normals_surface_outer [B,No,3], points_off_surface/normals_off_surface/
+    sdfs_off_surface [B,Nf,3]/[B,Nf,1], sup_grad_far [B,Fa,3], gt_anchors,
+    corresp_posed/corresp_neutral [B,Nc,3], is_neutral [B,1].
+
+    TPU-first: the reference's data-dependent neutral-row slicing becomes
+    masked means over static shapes (identical values for any batch).
+    """
+    cond_cat = jnp.concatenate([lat_shape, lat_expr], axis=-1)
+    is_neutral = (batch["is_neutral"].reshape(-1) == 1)
+    any_neutral = is_neutral.any()
+    if rng is not None:
+        rngs = list(jax.random.split(rng, 6))
+    else:
+        rngs = [None] * 6
+
+    def composed(pts, rng_i=0):
+        delta, _ = decoder_expr.apply(
+            params_expr, pts, cond_cat, None, training=training,
+            rng=rngs[rng_i],
+        )
+        can = pts + delta
+        sdf, anchors = decoder_shape.apply(
+            params_shape, can, lat_shape, training=training
+        )
+        return sdf, delta, anchors
+
+    def surf_terms(pts, normals, rng_i):
+        grads = spatial_gradient(lambda p: composed(p, rng_i)[0], pts)
+        sdf, delta, anchors = composed(pts, rng_i)
+        sdf_l = jnp.abs(sdf[..., 0])
+        normal_l = safe_l2norm(grads - normals)
+        eik_l = jnp.abs(safe_l2norm(grads, axis=-1) - 1.0)
+        return sdf_l, normal_l, eik_l, delta, anchors
+
+    # on surface, face (all scans)
+    sdf_s, nrm_s, eik_s, delta_s, anchors = surf_terms(
+        batch["points_surface"], batch["normals_surface"], 0
+    )
+    # on surface, back of head (neutral scans only)
+    sdf_o, nrm_o, eik_o, delta_o, _ = surf_terms(
+        batch["points_surface_outer"], batch["normals_surface_outer"], 1
+    )
+    nrm_o = jnp.clip(nrm_o, None, 0.75 * 100) / 2  # (sic — reference :154)
+    # off surface with SDF targets (neutral scans only)
+    grads_f = spatial_gradient(
+        lambda p: composed(p, 2)[0], batch["points_off_surface"]
+    )
+    sdf_f_raw, delta_f, _ = composed(batch["points_off_surface"], 2)
+    sdf_f = jnp.abs(sdf_f_raw - batch["sdfs_off_surface"])[..., 0]
+    nrm_f = jnp.clip(
+        safe_l2norm(grads_f - batch["normals_off_surface"]), None, 0.75 * 100
+    ) / 2
+    eik_f = jnp.abs(safe_l2norm(grads_f, axis=-1) - 1.0)
+
+    # off surface, canonical space only (all scans)
+    far = batch["sup_grad_far"]
+
+    def shape_only(p):
+        sdf, _ = decoder_shape.apply(params_shape, p, lat_shape, training=training)
+        return sdf
+
+    grads_far = spatial_gradient(shape_only, far)
+    sdf_far = shape_only(far)
+    space_sdf = jnp.mean(jnp.exp(-10.0 * jnp.abs(sdf_far[..., 0])))
+    eik_far = jnp.abs(safe_l2norm(grads_far, axis=-1) - 1.0)
+
+    neutral = jnp.where(any_neutral, is_neutral, jnp.zeros_like(is_neutral))
+    tot_sdf = _masked_concat_mean(
+        [(sdf_s, None), (sdf_o, neutral), (sdf_f, neutral)]
+    )
+    tot_normal = _masked_concat_mean(
+        [(nrm_s, None), (nrm_o, neutral), (nrm_f, neutral)]
+    )
+    tot_eik = _masked_concat_mean(
+        [(eik_far, None), (eik_s, None), (eik_o, neutral), (eik_f, neutral)]
+    )
+
+    out = {
+        "surf_sdf_loss": tot_sdf,
+        "normal_loss": tot_normal,
+        "space_sdf_loss": space_sdf,
+        "eik_loss": tot_eik,
+        "reg_shape": jnp.mean(sq_norm(lat_shape)),
+        "reg_expr": jnp.mean(sq_norm(lat_expr)),
+    }
+    if anchors is not None and "gt_anchors" in batch:
+        out["anchors"] = jnp.mean((anchors - batch["gt_anchors"]) ** 2)
+    if decoder_shape.lat_dim_glob is not None:
+        symm, middle = latent_pair_consistency(decoder_shape, lat_shape)
+        out["symm_dist"] = symm
+        out["middle_dist"] = middle
+
+    # correspondences (epoch-gated like the reference :246-256)
+    delta_c, _ = decoder_expr.apply(
+        params_expr, batch["corresp_posed"], cond_cat, None,
+        training=training, rng=rngs[3],
+    )
+    pred_can = batch["corresp_posed"] + delta_c
+    corresp = jnp.mean((pred_can - batch["corresp_neutral"]) ** 2)
+    scale = 1.0 if epoch <= 750 else (0.25 if epoch < 3000 else 0.0)
+    out["corresp"] = corresp * scale
+
+    # zero-deformation prior at uniform points in [-1.25, 1.25]^3
+    n_samps = min(100, batch["corresp_posed"].shape[1])
+    samps = (
+        jax.random.uniform(
+            rngs[4], (lat_shape.shape[0], n_samps, 3), lat_shape.dtype
+        )
+        - 0.5
+    ) * 2.5
+    delta_reg, _ = decoder_expr.apply(
+        params_expr, samps, cond_cat, None, training=training, rng=rngs[5]
+    )
+    out["loss_reg_zero"] = jnp.mean(delta_reg**2)
+
+    # neutral scans: encourage small deformations on all three point sets
+    # (three separate neutral-row means, summed — reference :263-266)
+    neutral_def = (
+        _masked_concat_mean([(delta_s**2, neutral)])
+        + _masked_concat_mean([(delta_o**2, neutral)])
+        + _masked_concat_mean([(delta_f**2, neutral)])
+    )
+    out["loss_neutral_zero"] = jnp.where(any_neutral, neutral_def, 0.0)
     return out
 
 

@@ -174,6 +174,137 @@ def test_identity_loss_parity_with_reference():
         )
 
 
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src"), reason="reference unavailable"
+)
+def test_joint_loss_parity_with_reference():
+    """``joint_loss`` vs the reference's (dead-code) ``loss_joint``
+    (loss_functions.py:113-279): same terms on the same weights/batch.
+    ``loss_reg_zero`` draws its own random samples on each side and is
+    checked for finiteness only."""
+    import sys
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference/src")
+    from NPHM.models.deepSDF import DeformationNetwork as TorchDeformation
+    from NPHM.models.EnsembledDeepSDF import FastEnsembleDeepSDFMirrored
+    from NPHM.models.loss_functions import loss_joint as torch_loss_joint
+
+    from nphm_tpu.models import (
+        DeformationConfig,
+        NPHMConfig,
+        make_deformation_decoder,
+    )
+    from nphm_tpu.models.decoders import make_nphm_decoder
+    from nphm_tpu.training.losses import joint_loss
+
+    cfg = NPHMConfig(
+        lat_dim_glob=16, lat_dim_loc=8, n_loc=6, n_symm_pairs=2,
+        hidden_dim=32, n_layers=4, pos_mlp_dim=32,
+    )
+    dcfg = DeformationConfig(
+        mode="expr_only", lat_dim_expr=16, lat_dim_glob_shape=16,
+        lat_dim_loc_shape=8, n_loc=6, hidden_dim=32, n_layers=4,
+    )
+    rng = np.random.default_rng(7)
+    mean_anchors = (rng.normal(size=(cfg.n_loc, 3)) * 0.3).astype(np.float32)
+    dec_s = make_nphm_decoder(cfg, mean_anchors)
+    params_s = dec_s.init(jax.random.PRNGKey(0))
+    dec_e = make_deformation_decoder(dcfg)
+    params_e = dec_e.init(jax.random.PRNGKey(1))
+
+    tm_s = FastEnsembleDeepSDFMirrored(
+        lat_dim_glob=cfg.lat_dim_glob, lat_dim_loc=cfg.lat_dim_loc,
+        n_loc=cfg.n_loc, n_symm_pairs=cfg.n_symm_pairs,
+        anchors=torch.from_numpy(mean_anchors)[None, None].float(),
+        hidden_dim=cfg.hidden_dim, n_layers=cfg.n_layers,
+        pos_mlp_dim=cfg.pos_mlp_dim,
+    )
+    for i in range(len(params_s["ensemble"])):
+        lin = getattr(tm_s.ensembled_deep_sdf, f"lin{i}")
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(np.asarray(params_s["ensemble"][i]["w"])))
+            lin.bias.copy_(torch.from_numpy(np.asarray(params_s["ensemble"][i]["b"])))
+    for j, seq in enumerate([0, 2, 4]):
+        with torch.no_grad():
+            tm_s.mlp_pos[seq].weight.copy_(
+                torch.from_numpy(np.asarray(params_s["mlp_pos"][j]["w"]))
+            )
+            tm_s.mlp_pos[seq].bias.copy_(
+                torch.from_numpy(np.asarray(params_s["mlp_pos"][j]["b"]))
+            )
+    tm_s.train()
+
+    tm_e = TorchDeformation(
+        mode="expr_only", lat_dim_expr=dcfg.lat_dim_expr,
+        lat_dim_id=dcfg.lat_dim_id, lat_dim_glob_shape=dcfg.lat_dim_glob_shape,
+        lat_dim_loc_shape=dcfg.lat_dim_loc_shape, n_loc=dcfg.n_loc,
+        anchors=torch.from_numpy(mean_anchors)[None, None].float(),
+        hidden_dim=dcfg.hidden_dim, nlayers=dcfg.n_layers,
+        input_dim=3, out_dim=3,
+    )
+    for i in range(len(params_e["trunk"]["layers"])):
+        lin = getattr(tm_e.defDeepSDF, f"lin{i}")
+        with torch.no_grad():
+            lin.weight.copy_(
+                torch.from_numpy(np.asarray(params_e["trunk"]["layers"][i]["w"]))
+            )
+            lin.bias.copy_(
+                torch.from_numpy(np.asarray(params_e["trunk"]["layers"][i]["b"]))
+            )
+    tm_e.eval()
+
+    B = 2
+    D_s, D_e = cfg.lat_dim, dcfg.lat_dim_expr
+    lat_s_np = (rng.normal(size=(B, D_s)) * 0.1).astype(np.float32)
+    lat_e_np = (rng.normal(size=(B, D_e)) * 0.1).astype(np.float32)
+    batch = {
+        "points_surface": rng.normal(size=(B, 20, 3)).astype(np.float32) * 0.3,
+        "normals_surface": rng.normal(size=(B, 20, 3)).astype(np.float32),
+        "points_surface_outer": rng.normal(size=(B, 8, 3)).astype(np.float32) * 0.3,
+        "normals_surface_outer": rng.normal(size=(B, 8, 3)).astype(np.float32),
+        "points_off_surface": rng.normal(size=(B, 6, 3)).astype(np.float32) * 0.4,
+        "normals_off_surface": rng.normal(size=(B, 6, 3)).astype(np.float32),
+        "sdfs_off_surface": rng.normal(size=(B, 6, 1)).astype(np.float32) * 0.1,
+        "sup_grad_far": rng.normal(size=(B, 5, 3)).astype(np.float32) * 0.4,
+        "gt_anchors": rng.normal(size=(B, cfg.n_loc, 3)).astype(np.float32) * 0.3,
+        "corresp_posed": rng.normal(size=(B, 30, 3)).astype(np.float32) * 0.3,
+        "corresp_neutral": rng.normal(size=(B, 30, 3)).astype(np.float32) * 0.3,
+        "is_neutral": np.array([[1], [0]], np.float32),
+    }
+
+    emb_s = torch.nn.Embedding(B, D_s)
+    emb_e = torch.nn.Embedding(B, D_e)
+    with torch.no_grad():
+        emb_s.weight.copy_(torch.from_numpy(lat_s_np))
+        emb_e.weight.copy_(torch.from_numpy(lat_e_np))
+    batch_t = {k: torch.from_numpy(v) for k, v in batch.items()}
+    batch_t["subj_ind"] = torch.arange(B)[:, None]
+    batch_t["idx"] = torch.arange(B)[:, None]
+    theirs = torch_loss_joint(
+        batch_t, tm_s, tm_e, emb_s, emb_e, "cpu", epoch=100
+    )
+
+    ours = joint_loss(
+        dec_s, params_s, dec_e, params_e,
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        jnp.asarray(lat_s_np), jnp.asarray(lat_e_np),
+        epoch=100, rng=jax.random.PRNGKey(3), training=True,
+    )
+
+    for k in (
+        "surf_sdf_loss", "normal_loss", "space_sdf_loss", "eik_loss",
+        "reg_shape", "reg_expr", "anchors", "symm_dist", "middle_dist",
+        "corresp",
+    ):
+        np.testing.assert_allclose(
+            float(ours[k]), float(theirs[k]), rtol=2e-3, atol=1e-5,
+            err_msg=f"joint loss term {k}",
+        )
+    assert np.isfinite(float(ours["loss_reg_zero"]))
+    assert np.isfinite(float(ours["loss_neutral_zero"]))
+
+
 # --- end-to-end auto-decoder training on synthetic geometry -------------------
 
 
