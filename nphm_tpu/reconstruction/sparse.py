@@ -270,6 +270,47 @@ def _assemble(sel_ids, data, fill_of, nb, res):
     return full, np.stack([bi * bx, bj * by, bk * bz], axis=-1).astype(np.int32)
 
 
+def _probe_lip(decoder, params, lat, mini, maxi, use_pallas, interpret,
+               kw_items, res: int = 64):
+    """Finite-difference Euclidean gradient bound from a dense res-64 probe:
+    sup ||grad f||^2 <= sum_d sup |df/dx_d|^2 over the lattice."""
+    if use_pallas:
+        from nphm_tpu.ops.pallas_ensemble import nphm_sdf_pallas
+
+        nb = (res // BLOCK[0], res // BLOCK[1], res // BLOCK[2])
+        ids = jnp.arange(nb[0] * nb[1] * nb[2], dtype=jnp.int32)
+        pts = _block_points(_axes(mini, maxi, res), ids, nb, _fine_offsets())
+        sdf = nphm_sdf_pallas(
+            params, decoder.cfg, pts, lat, tile=_TILE, interpret=interpret,
+            **dict(kw_items),
+        )
+    else:
+        ids = jnp.arange(
+            (res // BLOCK[0]) * (res // BLOCK[1]) * (res // BLOCK[2]),
+            dtype=jnp.int32,
+        )
+        nb = (res // BLOCK[0], res // BLOCK[1], res // BLOCK[2])
+        pts = _block_points(_axes(mini, maxi, res), ids, nb, _fine_offsets())
+        sdf = _chunked_apply(decoder, params, lat, pts)
+    bx, by, bz = BLOCK
+    nbx, nby, nbz = nb
+    field = (
+        np.asarray(sdf)
+        .reshape(nbx, nby, nbz, bx, by, bz)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(res, res, res)
+    )
+    h = (np.asarray(maxi) - np.asarray(mini)) / (res - 1)
+    return float(
+        np.sqrt(
+            sum(
+                (np.abs(np.diff(field, axis=d)).max() / h[d]) ** 2
+                for d in range(3)
+            )
+        )
+    )
+
+
 def extract_mesh_sparse(
     decoder,
     params,
@@ -289,7 +330,10 @@ def extract_mesh_sparse(
     eikonal-trained SDF has |grad f| ~= 1; the default 2.0 doubles that as
     safety.  Raising it enlarges the candidate set (slower, safer); a value
     below the field's true constant can miss surface in blocks whose coarse
-    samples all read far.  ``lip=inf`` degenerates to dense evaluation.
+    samples all read far.  ``lip="auto"`` probes a res-64 dense grid and
+    uses 2x the measured finite-difference gradient bound (heuristic: fine-
+    scale detail can exceed the coarse-probe bound).  ``lip=inf``
+    degenerates to dense evaluation.
 
     transfer_dtype: e.g. np.float16 halves the (already sparse) pull.
     stats: optional dict that receives candidate/transfer counts.
@@ -314,6 +358,13 @@ def extract_mesh_sparse(
     nb = _block_grid(res)
     n_blocks = nb[0] * nb[1] * nb[2]
     kw_items = tuple(sorted(kernel_kw.items()))
+
+    if lip == "auto":
+        lip = 2.0 * _probe_lip(
+            decoder, params, lat, mini, maxi, use_pallas, interpret, kw_items
+        )
+        if stats is not None:
+            stats["lip_auto"] = float(lip)
 
     # --- phase 1: coarse pass + margin selection
     if use_pallas:

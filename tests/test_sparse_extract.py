@@ -188,6 +188,22 @@ def test_sparse_npm_xla_path_equals_dense():
     assert d2.max() < 1e-3
 
 
+def test_sparse_auto_lip(tiny_nphm):
+    """lip='auto' probes the field and produces the same mesh as the
+    measured-bound call."""
+    cfg, dec, params, lat = tiny_nphm
+    logits = _dense(cfg, params, lat)
+    dense = mesh_from_logits(logits.reshape(-1), MINI, MAXI, RES)
+    stats = {}
+    sparse = extract_mesh_sparse(
+        dec, params, lat, MINI, MAXI, RES, lip="auto", cull_eps=0.0,
+        stats=stats,
+    )
+    assert stats["lip_auto"] > 0
+    assert dense.vertices.shape == sparse.vertices.shape
+    assert np.array_equal(_sorted(dense.vertices), _sorted(sparse.vertices))
+
+
 def test_sparse_fallback_non_divisible(tiny_nphm):
     cfg, dec, params, lat = tiny_nphm
     mesh = extract_mesh_sparse(dec, params, lat, MINI, MAXI, 40)  # 40 % 16 != 0
