@@ -460,12 +460,16 @@ def fit_joint_batch(
     """Fit MANY subjects at once by vmapping the per-subject fit step.
 
     The reference protocol fits its 23 test identities serially
-    (fitting_pointclouds.py:241-287).  A single fit's matmuls are tiny
-    ([5000, hidden]) and run far below MXU peak; vmapping S subjects
-    multiplies every matmul's batch by S at the same step count, so the
-    whole test set costs barely more wall-clock than one subject.  The
-    per-subject optimization trajectory is identical to ``fit_joint`` up
-    to RNG draws (each subject folds its own seed).
+    (fitting_pointclouds.py:241-287).  Vmapping S subjects multiplies every
+    matmul's batch by S at the same step count.  Measured on one v5e
+    (production dims, 20 obs x 2500 pts, 1000 steps): S=4 runs at 123
+    subject-steps/s vs 107 for the serial fit — a ~1.15x throughput gain
+    (the fit step is largely compute-bound, so batching mostly amortizes
+    the remaining per-step overhead) plus one compile for the whole
+    protocol instead of one per obs-count bucket.  S=8 has crashed the TPU
+    worker (see ``fit_joint_batch_resilient``); prefer groups of <= 4.
+    The per-subject optimization trajectory is identical to ``fit_joint``
+    up to RNG draws (each subject folds its own seed).
 
     subjects_obs: one observation list per subject (ragged sizes fine).
     Returns per-subject lists: (lat_exprs, lat_shapes, anchors, history).
