@@ -363,6 +363,32 @@ def main():
                     f"/{st['n_blocks']}"
                 )
 
+    if use_pallas and os.environ.get("BENCH_NO_NPM") != "1":
+        # model family #1 (BASELINE.json configs): NPM global-latent DeepSDF
+        # random-head sampling at res 128 through the chunked XLA evaluator
+        # (measured faster than the layer-streamed kernel for this trunk)
+        from nphm_tpu.models import DeepSDFConfig, make_npm_decoder
+
+        npm = make_npm_decoder(
+            DeepSDFConfig(
+                lat_dim=512, hidden_dim=1024, n_layers=8, radius_init=0.5
+            )
+        )
+        p_npm = npm.init(jax.random.PRNGKey(3))
+        lat_npm = jax.random.normal(jax.random.PRNGKey(4), (1, 512)) * 0.01
+        ev = make_sdf_evaluator(npm)
+        grid128 = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, 128)
+        ev({"params": p_npm, "lat": lat_npm}, grid128)  # warm
+        t0 = time.perf_counter()
+        lg = ev({"params": p_npm, "lat": lat_npm}, grid128)[:, 0]
+        # the geometric-init field is near-constant in the box; extract at
+        # the median iso so marching does representative work
+        mesh_npm = mesh_from_logits(
+            lg - np.median(lg), GRID_MIN, GRID_MAX, 128
+        )
+        extra["npm_res128_sample_s"] = round(time.perf_counter() - t0, 3)
+        extra["npm_verts"] = int(len(mesh_npm.vertices))
+
     if os.environ.get("BENCH_NO_MULTI") != "1":
         extra["multichip"] = _bench_multichip()
 

@@ -79,6 +79,13 @@ class FittingConfig:
     # on a v5e): the loop is latency-bound on the 15-iteration sequential
     # Broyden search, not matmul-bound.
     matmul_precision: str = "default"
+    # Route the NPHM shape-decoder eval at the Broyden roots through the
+    # fused Pallas training kernel (ops/pallas_train.py) with member
+    # culling: valid roots lie inside the anchor region where culling is
+    # exact to ~cull_eps, and invalid/far roots are masked out of the loss
+    # by valid_ids before any gradient flows.  "auto" = on for NPHM
+    # decoders on a real TPU backend; the XLA path is the parity reference.
+    fused_shape_fields: str = "auto"
 
     @property
     def total_steps(self) -> int:
@@ -152,6 +159,35 @@ def _shape_regularizers(decoder, lat_shape, unobserved):
 
 
 
+def _shape_fields_fn(decoder_shape, cfg: FittingConfig):
+    """None, or a fused-kernel SDF evaluator for the fit losses.
+
+    Returns ``fields(params_shape, pts [B,N,3], lat [B,D]) -> sdf [B,N,1]``
+    backed by ``apply_nphm_train_pallas`` (training-mode semantics — the
+    reference fits with ``decoder_shape.train()`` — custom VJP w.r.t.
+    params/lat/pts, per-tile member culling at eval-grade cull_eps)."""
+    mode = cfg.fused_shape_fields
+    if mode == "auto":
+        use = (
+            getattr(decoder_shape, "kind", None) == "nphm"
+            and jax.default_backend() == "tpu"
+        )
+    else:
+        use = bool(mode) and mode != "off"
+    if not use or getattr(decoder_shape, "kind", None) != "nphm":
+        return None
+    from nphm_tpu.ops.pallas_train import apply_nphm_train_pallas
+
+    def fields(params_shape, pts, lat_b):
+        sdf, _grads, _anchors = apply_nphm_train_pallas(
+            params_shape, decoder_shape.cfg, pts, lat_b,
+            cull_eps=1e-10, sort=True,
+        )
+        return sdf
+
+    return fields
+
+
 def _coerce_cfg(cfg: FittingConfig) -> FittingConfig:
     """Make cfg hashable (tuple-ize sequence fields) for the runner cache."""
     return dataclasses.replace(
@@ -174,6 +210,7 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
     nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
     use_anchors = decoder_shape.lat_dim_glob is not None
     adam = optax.scale_by_adam()
+    fused_fields = _shape_fields_fn(decoder_shape, cfg)
 
     def loss_fn(lat_s, lat_e, params_shape, params_expr, padded, lens, n_obs,
                 lam_row, clamp_j, rng):
@@ -202,12 +239,13 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
             dvg_thresh=cfg.broyden_dvg,
         )
         xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
-        sdf, _ = decoder_shape.apply(
-            params_shape,
-            xc,
-            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
-            training=cfg.training_mode_shape,
-        )
+        lat_b = jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1]))
+        if fused_fields is not None:
+            sdf = fused_fields(params_shape, xc, lat_b)
+        else:
+            sdf, _ = decoder_shape.apply(
+                params_shape, xc, lat_b, training=cfg.training_mode_shape
+            )
         l = jnp.abs(sdf[..., 0])
         mask = jnp.logical_and(result["valid_ids"], l < clamp_j).astype(l.dtype)
         terms = {"surface": _masked_mean(l, mask)}
@@ -262,6 +300,7 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_key
     nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
     use_anchors = decoder_shape.lat_dim_glob is not None
     adam = optax.scale_by_adam()
+    fused_fields = _shape_fields_fn(decoder_shape, cfg)
 
     def subject_loss(lat_s, lat_e, params_shape, params_expr, s_padded,
                      s_lens, s_n_obs, lam_row, clamp_j, rng):
@@ -290,12 +329,13 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_key
             dvg_thresh=cfg.broyden_dvg,
         )
         xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
-        sdf, _ = decoder_shape.apply(
-            params_shape,
-            xc,
-            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
-            training=cfg.training_mode_shape,
-        )
+        lat_b = jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1]))
+        if fused_fields is not None:
+            sdf = fused_fields(params_shape, xc, lat_b)
+        else:
+            sdf, _ = decoder_shape.apply(
+                params_shape, xc, lat_b, training=cfg.training_mode_shape
+            )
         l = jnp.abs(sdf[..., 0])
         mask = jnp.logical_and(result["valid_ids"], l < clamp_j).astype(l.dtype)
         terms = {"surface": _masked_mean(l, mask)}
@@ -625,18 +665,20 @@ def fit_joint_batch_resilient(
 def _identity_runner(decoder_shape, cfg: FittingConfig, lam_keys):
     """Compiled identity-only fit program, cached like ``_joint_runner``."""
     nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+    fused_fields = _shape_fields_fn(decoder_shape, cfg)
 
     def loss_fn(lat_s, params_shape, padded, lens, n_obs, lam_row, clamp_j, rng):
         k1, k2 = jax.random.split(rng)
         sel = jax.random.randint(k1, (nb,), 0, n_obs)
         idx = jax.random.randint(k2, (nb, npp), 0, lens[sel][:, None])
         obs = jnp.take_along_axis(padded[sel], idx[..., None], axis=1)
-        sdf, _ = decoder_shape.apply(
-            params_shape,
-            obs,
-            jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])),
-            training=cfg.training_mode_shape,
-        )
+        lat_b = jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1]))
+        if fused_fields is not None:
+            sdf = fused_fields(params_shape, obs, lat_b)
+        else:
+            sdf, _ = decoder_shape.apply(
+                params_shape, obs, lat_b, training=cfg.training_mode_shape
+            )
         l = jnp.abs(sdf[..., 0])
         mask = (l < clamp_j).astype(l.dtype)
         terms = {"surface": _masked_mean(l, mask)}

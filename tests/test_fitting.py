@@ -175,6 +175,51 @@ def test_fit_joint_recovers_shape_and_translation():
     np.testing.assert_allclose(lat_e, t_true, atol=0.02)
 
 
+def test_fit_joint_fused_shape_fields_matches_xla():
+    """Routing the fit's shape-decoder eval through the fused Pallas
+    training kernel (FittingConfig.fused_shape_fields) must reproduce the
+    XLA path's optimization trajectory (interpret mode on CPU)."""
+    from nphm_tpu.models import NPHMConfig, make_nphm_decoder
+
+    cfg_m = NPHMConfig(
+        lat_dim_glob=8, lat_dim_loc=4, n_loc=6, n_symm_pairs=2,
+        hidden_dim=16, n_layers=4, pos_mlp_dim=16,
+    )
+    rng = np.random.default_rng(3)
+    anchors = (rng.normal(size=(cfg_m.n_loc, 3)) * 0.25).astype(np.float32)
+    dec = make_nphm_decoder(cfg_m, anchors)
+    params = dec.init(jax.random.PRNGKey(0))
+    warp = SmoothWarp(amp=0.02, lat_dim=3)
+    obs = []
+    for k in range(2):
+        d = rng.normal(size=(300, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        obs.append((d * 0.4).astype(np.float32))
+
+    base = dict(
+        n_steps=5, n_obs_per_batch=2, n_points_per_obs=64, log_every=10**9
+    )
+    out = {}
+    for tag, mode in (("xla", "off"), ("fused", True)):
+        le, ls, _a, hist = fit_joint(
+            dec, params, warp, None, obs,
+            cfg=FittingConfig(fused_shape_fields=mode, **base),
+            verbose=False,
+        )
+        out[tag] = (le, ls, hist)
+    # single-eval kernel parity is ~1e-7 (tests/test_pallas_train.py); five
+    # Adam steps amplify accumulation-order noise to ~1e-4 on the latents
+    np.testing.assert_allclose(
+        out["xla"][1], out["fused"][1], rtol=1e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        out["xla"][0], out["fused"][0], rtol=1e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        out["xla"][2]["loss"], out["fused"][2]["loss"], rtol=1e-3, atol=1e-5
+    )
+
+
 def test_fit_joint_batch_matches_single_recipe():
     """Batched multi-subject fitting solves each subject like fit_joint does."""
     from nphm_tpu.fitting import fit_joint_batch
