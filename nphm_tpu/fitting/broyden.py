@@ -114,11 +114,16 @@ def search(
     max_steps: int = 15,
     cvg_thresh: float = 1e-6,
     dvg_thresh: float = 0.2,
+    xc_init: Optional[jnp.ndarray] = None,
 ):
     """Posed -> canonical correspondences through the forward warp.
 
     obs: [B, N, 3] observed (posed) points; cond: [B, D] latent
     ``[z_id, z_ex]``; anchors: [B, K, 3] or None.
+    ``xc_init``: optional [B, N, 3] warm-start initial guesses (e.g. the
+    roots found for the same observation points at an earlier fit step);
+    defaults to the reference's ``x_c = x_posed`` init
+    (iterative_root_finding.py:108).  Ignored under ``multi_corresp``.
     Returns (xc [B, N(, I), 3], result dict) — mirrors reference
     iterative_root_finding.py:91-168.
     """
@@ -132,7 +137,7 @@ def search(
         xc_init = (xc_init + offsets).reshape(n_batch, n_point * n_inits, 3)
         obs_rep = jnp.repeat(obs, n_inits, axis=1)
     else:
-        xc_init = obs
+        xc_init = obs if xc_init is None else xc_init
         obs_rep = obs
 
     def warp(x):

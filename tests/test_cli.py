@@ -32,6 +32,11 @@ def _env(root):
     env.update(dummy_env(root))
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # shadow any environment-injected sitecustomize that would re-pin jax to
+    # a TPU backend and ignore JAX_PLATFORMS (see tests/_cpu_site)
+    env["PYTHONPATH"] = os.path.join(REPO, "tests", "_cpu_site") + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     return env
 
 

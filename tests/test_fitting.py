@@ -147,8 +147,13 @@ def test_fit_identity_recovers_radius():
     assert hist["loss"][-1] < hist["loss"][5]
 
 
-def test_fit_joint_recovers_shape_and_translation():
-    """Observations are translated spheres; fit must find radius + per-obs t."""
+@pytest.mark.parametrize("warm", [True, False])
+def test_fit_joint_recovers_shape_and_translation(warm):
+    """Observations are translated spheres; fit must find radius + per-obs t.
+
+    Parametrized over warm-started vs reference cold-started Broyden
+    correspondences (FittingConfig.warm_start_corresp): both must converge
+    to the same solution."""
     shape = SphereDecoder(r0=0.5, lat_dim=4)
     warp = SmoothWarp(amp=0.0, lat_dim=3)  # pure per-obs translation
 
@@ -162,7 +167,7 @@ def test_fit_joint_recovers_shape_and_translation():
         obs.append(d * r_true + t_true[k])
 
     cfg = FittingConfig(n_steps=400, n_obs_per_batch=3, n_points_per_obs=500,
-                        log_every=1000)
+                        log_every=1000, warm_start_corresp=warm)
     lat_e, lat_s, _anchors, hist = fit_joint(
         shape, None, warp, None, obs,
         lambdas={"surface": 2.0, "reg_expr": 1e-4, "reg_global": 1e-4},
@@ -218,6 +223,44 @@ def test_fit_joint_fused_shape_fields_matches_xla():
     np.testing.assert_allclose(
         out["xla"][2]["loss"], out["fused"][2]["loss"], rtol=1e-3, atol=1e-5
     )
+
+
+def test_fit_joint_fused_failure_falls_back_to_xla(monkeypatch, capsys):
+    """A fused-kernel fit program that fails to build (tiny architectures
+    hit a Mosaic compile limitation on real TPUs) must be retried on the
+    XLA path instead of crashing the fit."""
+    from nphm_tpu.fitting import inference as inf
+
+    def fake_fields(decoder_shape, cfg):
+        if cfg.fused_shape_fields in ("off", False):
+            return None
+
+        def boom(params_shape, pts, lat_b):
+            raise RuntimeError("simulated Mosaic compile failure")
+
+        return boom
+
+    monkeypatch.setattr(inf, "_shape_fields_fn", fake_fields)
+
+    shape = SphereDecoder(r0=0.5, lat_dim=4)
+    warp = SmoothWarp(amp=0.0, lat_dim=3)
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=(400, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    obs = [(d * 0.55).astype(np.float32)]
+
+    # unique cfg so the lru_cached runner is built fresh under the patch
+    cfg = FittingConfig(n_steps=7, n_obs_per_batch=1, n_points_per_obs=128,
+                        log_every=10**9, seed=12345,
+                        fused_shape_fields="on")
+    lat_e, lat_s, _a, hist = fit_joint(
+        shape, None, warp, None, obs,
+        lambdas={"surface": 2.0, "reg_expr": 1e-4, "reg_global": 1e-4},
+        cfg=cfg, verbose=False,
+    )
+    assert "retrying on the XLA path" in capsys.readouterr().out
+    assert np.isfinite(hist["loss"]).all()
+    assert lat_s.shape == (1, 4)
 
 
 def test_fit_joint_batch_matches_single_recipe():
