@@ -115,6 +115,7 @@ def search(
     cvg_thresh: float = 1e-6,
     dvg_thresh: float = 0.2,
     xc_init: Optional[jnp.ndarray] = None,
+    identity_j_init: bool = False,
 ):
     """Posed -> canonical correspondences through the forward warp.
 
@@ -124,6 +125,11 @@ def search(
     roots found for the same observation points at an earlier fit step);
     defaults to the reference's ``x_c = x_posed`` init
     (iterative_root_finding.py:108).  Ignored under ``multi_corresp``.
+    ``identity_j_init``: start the inverse Jacobian at I instead of the
+    autograd Jacobian (iterative_root_finding.py:123).  The residual map is
+    g(x) = x + delta(x) - obs with a smallish deformation delta, so
+    J ~= I and Broyden's rank-1 updates recover the rest — skipping three
+    JVP warp evaluations per search.
     Returns (xc [B, N(, I), 3], result dict) — mirrors reference
     iterative_root_finding.py:91-168.
     """
@@ -144,8 +150,13 @@ def search(
         delta, _ = decoder_expr.apply(params_expr, x, cond, anchors)
         return x + delta
 
-    j_init = point_jacobian(warp, xc_init)  # [B, M, 3, 3]
-    j_inv_init = inv3x3(j_init)
+    if identity_j_init:
+        j_inv_init = jnp.broadcast_to(
+            jnp.eye(3, dtype=xc_init.dtype), xc_init.shape[:-1] + (3, 3)
+        )
+    else:
+        j_init = point_jacobian(warp, xc_init)  # [B, M, 3, 3]
+        j_inv_init = inv3x3(j_init)
 
     def g(x_flat):
         x = x_flat.reshape(n_batch, -1, 3)

@@ -103,6 +103,16 @@ class FittingConfig:
     # 6.7 s (1.56x) at the same loss floor and valid-correspondence count;
     # warm-3 starts dropping n_valid (~-1%).
     broyden_warm_steps: int = 5
+    # Initialize Broyden's inverse Jacobian at I instead of the autograd
+    # Jacobian when warm-starting: g(x) = x + delta(x) - obs has J ~= I for
+    # the smallish deformation fields this model family learns, and the
+    # rank-1 updates recover the rest — skipping three JVP warp evals per
+    # step.  Only applies when warm_start_corresp is on.  Measured (same rig
+    # as above): 6.6 s fresh-J vs 6.4 s identity-J (and 6.2 s at
+    # broyden_warm_steps=4) with matched n_valid — a ~4-7% option.  Default
+    # off: the autograd init is the reference-faithful choice and safer for
+    # strongly deformed expressions.
+    warm_identity_jacobian: bool = False
 
     @property
     def total_steps(self) -> int:
@@ -279,6 +289,7 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
             cvg_thresh=cfg.broyden_cvg,
             dvg_thresh=cfg.broyden_dvg,
             xc_init=xc0,
+            identity_j_init=warm and cfg.warm_identity_jacobian,
         )
         xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
         lat_b = jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1]))
@@ -353,9 +364,17 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
 
 
 @functools.lru_cache(maxsize=64)
-def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
+def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
+                        lam_keys, mesh=None):
     """Compiled multi-subject (vmapped) joint-fit program, cached like
-    ``_joint_runner``."""
+    ``_joint_runner``.
+
+    With ``mesh``, the subjects axis is sharded across the device mesh via
+    ``shard_map`` — subjects are independent, so each device runs its whole
+    block (scan, Broyden while_loops, optional Pallas kernel) locally with
+    zero collectives, and per-subject trajectories are bit-comparable to the
+    single-device program (the RNG folds the GLOBAL subject index, passed in
+    as ``subj_idx``)."""
     nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
     use_anchors = decoder_shape.lat_dim_glob is not None
     adam = optax.scale_by_adam()
@@ -385,6 +404,7 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_key
             cvg_thresh=cfg.broyden_cvg,
             dvg_thresh=cfg.broyden_dvg,
             xc_init=xc0,
+            identity_j_init=warm and cfg.warm_identity_jacobian,
         )
         xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
         lat_b = jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1]))
@@ -408,16 +428,18 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_key
 
     grad_fn = jax.value_and_grad(subject_loss, argnums=(0, 1), has_aux=True)
 
-    def run(lat_shape, lat_expr, os_state, oe_state, params_shape, params_expr,
-            padded, lens, n_obs, base_key, lr_arr, lam_mat, clamp_arr):
-        S = lat_shape.shape[0]
-        store0 = padded if warm else jnp.zeros((S, 1))
+    def scan_block(lat_shape, lat_expr, os_state, oe_state, padded, lens,
+                   n_obs, subj_idx, params_shape, params_expr, base_key,
+                   lr_arr, lam_mat, clamp_arr):
+        """Fit a block of subjects: the whole batch, or one device's shard
+        when running under ``shard_map``."""
+        store0 = padded if warm else jnp.zeros((lat_shape.shape[0], 1))
 
         def step(carry, j):
             lat_s, lat_e, os_state, oe_state, store = carry
             rngs = jax.vmap(
                 lambda s: jax.random.fold_in(jax.random.fold_in(base_key, j), s)
-            )(jnp.arange(S))
+            )(subj_idx)
             lr = lr_arr[j]
             bsteps = (
                 jnp.where(j == 0, cfg.broyden_max_steps, cfg.broyden_warm_steps)
@@ -463,6 +485,25 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_key
                 (lat_shape, lat_expr, os_state, oe_state, store0),
                 jnp.arange(lr_arr.shape[0]),
             )
+        return lat_s, lat_e, os_state, oe_state, losses
+
+    if mesh is None:
+        block = scan_block
+    else:
+        from nphm_tpu.parallel.mesh import DATA_AXIS
+        from jax.sharding import PartitionSpec as P
+
+        D, R = P(DATA_AXIS), P()
+        block = jax.shard_map(
+            scan_block,
+            mesh=mesh,
+            in_specs=(D, D, D, D, D, D, D, D, R, R, R, R, R, R),
+            out_specs=(D, D, D, D, P(None, DATA_AXIS)),
+            check_vma=False,  # pallas_call out_shape carries no vma
+        )
+
+    def run(*args):
+        lat_s, lat_e, os_state, oe_state, losses = block(*args)
         return (lat_s, lat_e, os_state, oe_state), losses
 
     return jax.jit(run)
@@ -571,6 +612,7 @@ def fit_joint_batch(
     schedule: Optional[Dict[str, Dict[int, float]]] = None,
     cfg: FittingConfig = FittingConfig(),
     verbose: bool = True,
+    mesh=None,
 ):
     """Fit MANY subjects at once by vmapping the per-subject fit step.
 
@@ -586,6 +628,12 @@ def fit_joint_batch(
     The per-subject optimization trajectory is identical to ``fit_joint``
     up to RNG draws (each subject folds its own seed).
 
+    ``mesh``: optional ``jax.sharding.Mesh`` — shards the subjects axis
+    across devices (each chip fits its own block of subjects; no
+    collectives).  The subject count is padded up to a multiple of the mesh
+    size with dummy subjects; per-subject results are unchanged vs
+    ``mesh=None`` because the RNG folds the global subject index.
+
     subjects_obs: one observation list per subject (ragged sizes fine).
     Returns per-subject lists: (lat_exprs, lat_shapes, anchors, history).
     """
@@ -594,6 +642,7 @@ def fit_joint_batch(
     schedule = schedule or default_joint_schedule()
     total = cfg.total_steps
     S = len(subjects_obs)
+    S_pad = S if mesh is None else -(-S // mesh.size) * mesh.size
     lam_keys = tuple(sorted(lambdas))
 
     lr_arr = jnp.asarray(
@@ -614,18 +663,21 @@ def fit_joint_batch(
     n_obs = np.asarray([len(o) for o in subjects_obs], np.int32)
     o_max = -(-int(n_obs.max()) // 8) * 8
     p_max = -(-int(max(len(o) for obs in subjects_obs for o in obs)) // 512) * 512
-    padded = np.zeros((S, o_max, p_max, 3), np.float32)
-    lens = np.ones((S, o_max), np.int32)  # 1 (not 0) so randint stays valid
+    padded = np.zeros((S_pad, o_max, p_max, 3), np.float32)
+    lens = np.ones((S_pad, o_max), np.int32)  # 1 (not 0) so randint stays valid
     for s_i, obs in enumerate(subjects_obs):
         for i, o in enumerate(obs):
             o = np.asarray(o, np.float32)[:, :3]
             padded[s_i, i, : len(o)] = o
             lens[s_i, i] = len(o)
     padded, lens = jnp.asarray(padded), jnp.asarray(lens)
-    n_obs_j = jnp.asarray(n_obs)
+    n_obs_j = jnp.asarray(
+        np.concatenate([n_obs, np.ones(S_pad - S, np.int32)])
+    )
+    subj_idx = jnp.arange(S_pad, dtype=jnp.int32)
 
-    lat_expr = jnp.zeros((S, o_max, decoder_expr.lat_dim), jnp.float32)
-    lat_shape = jnp.zeros((S, 1, decoder_shape.lat_dim), jnp.float32)
+    lat_expr = jnp.zeros((S_pad, o_max, decoder_expr.lat_dim), jnp.float32)
+    lat_shape = jnp.zeros((S_pad, 1, decoder_shape.lat_dim), jnp.float32)
 
     adam = optax.scale_by_adam()
     opt_shape_state = jax.vmap(adam.init)(lat_shape)
@@ -633,13 +685,16 @@ def fit_joint_batch(
     base_key = jax.random.PRNGKey(cfg.seed)
 
     ((lat_shape, lat_expr, _, _), losses), elapsed = _run_with_xla_fallback(
-        lambda c: _joint_batch_runner(decoder_shape, decoder_expr, c, lam_keys),
+        lambda c: _joint_batch_runner(
+            decoder_shape, decoder_expr, c, lam_keys, mesh
+        ),
         cfg, decoder_shape,
         (lat_shape, lat_expr, opt_shape_state, opt_expr_state,
-         params_shape, params_expr, padded, lens, n_obs_j, base_key,
-         lr_arr, lam_mat, clamp_arr),
+         padded, lens, n_obs_j, subj_idx, params_shape, params_expr,
+         base_key, lr_arr, lam_mat, clamp_arr),
         "fit_joint_batch",
     )
+    losses = losses[:, :S]
     if verbose:
         print(
             f"[fit_joint_batch] {S} subjects x {total} steps in {elapsed:.1f}s "
@@ -647,6 +702,7 @@ def fit_joint_batch(
             f"{S * total / max(elapsed, 1e-9):.1f} subject-steps/s)"
         )
 
+    lat_shape, lat_expr = lat_shape[:S], lat_expr[:S]
     _, anchors = decoder_shape.apply(
         params_shape, jnp.zeros((S, 1, 3)), lat_shape[:, 0], training=False
     )
@@ -670,6 +726,7 @@ def fit_joint_batch_resilient(
     schedule: Optional[Dict[str, Dict[int, float]]] = None,
     cfg: FittingConfig = FittingConfig(),
     verbose: bool = True,
+    mesh=None,
     _batch_fn=None,
     _single_fn=None,
 ):
@@ -690,6 +747,8 @@ def fit_joint_batch_resilient(
     batch_fn = _batch_fn or fit_joint_batch
     single_fn = _single_fn or fit_joint
     kw = dict(lambdas=lambdas, schedule=schedule, cfg=cfg, verbose=verbose)
+    # mesh only applies to the vmapped group fit (fit_joint is per-subject)
+    batch_kw = dict(kw, mesh=mesh) if mesh is not None else kw
     stats = {"crashes": 0, "group_sizes": []}
 
     def fit_group(group):
@@ -714,7 +773,7 @@ def fit_joint_batch_resilient(
         try:
             le, ls, an, h = batch_fn(
                 decoder_shape, params_shape, decoder_expr, params_expr,
-                group, **kw,
+                group, **batch_kw,
             )
             stats["group_sizes"].append(S)
             return le, ls, an, [h]

@@ -123,6 +123,14 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
     lambdas, schedule = fitting_overrides_from_cfg(CFG)
     fit_kw = dict(cfg=fcfg, lambdas=lambdas, schedule=schedule)
     group_size = max(1, args.batch_subjects)
+    # multi-chip: shard the subjects axis of grouped fits over all local
+    # devices (each chip fits its own block; results match single-device)
+    batch_mesh = None
+    if group_size > 1 and len(jax.devices()) > 1:
+        from nphm_tpu.parallel.mesh import get_device_mesh
+
+        batch_mesh = get_device_mesh()
+        print(f"Subject-parallel fitting over {batch_mesh.size} devices")
     for start in range(0, len(subjects), group_size):
         group = subjects[start : start + group_size]
         per_subj = []
@@ -142,7 +150,7 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
             # worker; the resilient wrapper bisects and retries
             lat_exprs, lat_shapes, anchors_l, _h = fit_joint_batch_resilient(
                 decoder_shape, params_shape, decoder_expr, params_expr,
-                [obs for _, _, obs in per_subj], **fit_kw,
+                [obs for _, _, obs in per_subj], mesh=batch_mesh, **fit_kw,
             )
         else:
             le, ls, an, _h = fit_joint(
