@@ -12,7 +12,10 @@ fit < 30 s on one v5e chip"): a reference rate of 16.7M queries / 30 s
 = 0.557M q/s.  vs_baseline = measured rate / 0.557M.
 
 Extra fields (same line): res-256 extraction wall time including marching
-cubes, and fitting iterations/sec when BENCH_FULL=1.
+cubes, streamed/sparse extraction legs, the fused training-kernel step, an
+NPM sampling leg, the virtual-mesh multichip equivalence check, and fitting
+iterations/sec.  All legs run by default; skip individually with
+BENCH_NO_{TRAIN,SPARSE,R400,NPM,MULTI,FIT,PALLAS}=1.
 
 NOTE: timings force a device->host transfer per measurement because
 block_until_ready does not reliably synchronize through the axon relay.
@@ -320,24 +323,17 @@ def main():
             # blocks-only transfer (reconstruction/sparse.py).  Random-init
             # fields are a worst case (surface fills the box), so this leg
             # measures on the 300-step-trained ellipsoid model.
-            from nphm_tpu.reconstruction.sparse import extract_mesh_sparse
+            from nphm_tpu.reconstruction.sparse import (
+                _probe_lip, extract_mesh_sparse,
+            )
 
-            res_p = 128
-            lp = np.asarray(
-                nphm_grid_sdf_pallas(
-                    tparams, cfg, tlat, GRID_MIN, GRID_MAX, res_p
-                )
-            ).reshape(res_p, res_p, res_p)
-            hh = (np.asarray(GRID_MAX) - np.asarray(GRID_MIN)) / (res_p - 1)
-            # Euclidean bound: sup||grad f||^2 <= sum_d sup|df/dx_d|^2;
-            # capped for timing realism (an eikonal-trained SDF has ~1)
-            lip = float(
-                np.sqrt(
-                    sum(
-                        (np.abs(np.diff(lp, axis=dd)).max() / hh[dd]) ** 2
-                        for dd in range(3)
-                    )
-                )
+            # the library's own finite-difference probe (one formula, one
+            # margin semantics); capped for timing realism — an
+            # eikonal-trained SDF has ||grad|| ~= 1, and this leg's
+            # 300-step model is only partially there
+            lip = _probe_lip(
+                tdec, tparams, tlat, GRID_MIN, GRID_MAX,
+                use_pallas=True, interpret=False, kw_items=(),
             )
             lip = min(lip, 4.0) * 1.25
             for res in (256, 400):

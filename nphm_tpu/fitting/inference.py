@@ -186,19 +186,25 @@ def _shape_regularizers(decoder, lat_shape, unobserved):
 
 
 
-def _shape_fields_fn(decoder_shape, cfg: FittingConfig):
+def _shape_fields_fn(decoder_shape, cfg: FittingConfig, mesh=None):
     """None, or a fused-kernel SDF evaluator for the fit losses.
 
     Returns ``fields(params_shape, pts [B,N,3], lat [B,D]) -> sdf [B,N,1]``
     backed by ``apply_nphm_train_pallas`` (training-mode semantics — the
     reference fits with ``decoder_shape.train()`` — custom VJP w.r.t.
-    params/lat/pts, per-tile member culling at eval-grade cull_eps)."""
+    params/lat/pts, per-tile member culling at eval-grade cull_eps).
+
+    The "auto" gate uses the platform the fit actually runs on: the MESH's
+    devices when one is given, else the default backend (which sees "tpu"
+    even in CPU-forced tests — see the verify skill notes)."""
+    plat = (
+        mesh.devices.flat[0].platform
+        if mesh is not None
+        else jax.default_backend()
+    )
     mode = cfg.fused_shape_fields
     if mode == "auto":
-        use = (
-            getattr(decoder_shape, "kind", None) == "nphm"
-            and jax.default_backend() == "tpu"
-        )
+        use = getattr(decoder_shape, "kind", None) == "nphm" and plat == "tpu"
     else:
         use = bool(mode) and mode != "off"
     if not use or getattr(decoder_shape, "kind", None) != "nphm":
@@ -208,28 +214,33 @@ def _shape_fields_fn(decoder_shape, cfg: FittingConfig):
     def fields(params_shape, pts, lat_b):
         sdf, _grads, _anchors = apply_nphm_train_pallas(
             params_shape, decoder_shape.cfg, pts, lat_b,
-            cull_eps=1e-10, sort=True,
+            cull_eps=1e-10, sort=True, interpret=plat != "tpu",
         )
         return sdf
 
     return fields
 
 
-def _run_with_xla_fallback(make_run, cfg, decoder_shape, args, tag):
+def _run_with_xla_fallback(make_run, cfg, decoder_shape, args, tag, mesh=None):
     """Execute a cached fit runner, materializing every output.
 
-    If the fused-kernel variant fails (tiny architectures hit a Mosaic
-    "only constant accumulators supported" compile error — see
+    If the fused-kernel variant fails to COMPILE (tiny architectures hit a
+    Mosaic "only constant accumulators supported" error — see
     .claude/skills/verify/SKILL.md), rebuild the program on the XLA path
-    and retry once.  Returns (materialized outputs, elapsed seconds of the
-    successful run).
+    and retry once.  Only kernel-compile signatures trigger the fallback:
+    a genuine runtime failure (OOM, worker crash, NaN guard) must surface
+    immediately rather than be replayed — more slowly — on XLA, and must
+    reach ``fit_joint_batch_resilient``'s bisection untouched.  Returns
+    (materialized outputs, elapsed seconds of the successful run).
     """
     t0 = time.time()
     try:
         out = make_run(cfg)(*args)
         return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
-    except Exception as e:  # noqa: BLE001 — compile failures surface as many types
-        if _shape_fields_fn(decoder_shape, cfg) is None:
+    except Exception as e:  # noqa: BLE001 — the relay wraps compile errors
+        blob = f"{type(e).__name__}: {e}".lower()
+        kernel_compile = "mosaic" in blob or "pallas" in blob
+        if not kernel_compile or _shape_fields_fn(decoder_shape, cfg, mesh) is None:
             raise
         print(
             f"[{tag}] fused-kernel fit program failed "
@@ -378,7 +389,7 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
     nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
     use_anchors = decoder_shape.lat_dim_glob is not None
     adam = optax.scale_by_adam()
-    fused_fields = _shape_fields_fn(decoder_shape, cfg)
+    fused_fields = _shape_fields_fn(decoder_shape, cfg, mesh)
     warm = cfg.warm_start_corresp
 
     def subject_loss(lat_s, lat_e, params_shape, params_expr, s_padded,
@@ -693,6 +704,7 @@ def fit_joint_batch(
          padded, lens, n_obs_j, subj_idx, params_shape, params_expr,
          base_key, lr_arr, lam_mat, clamp_arr),
         "fit_joint_batch",
+        mesh=mesh,
     )
     losses = losses[:, :S]
     if verbose:

@@ -11,10 +11,12 @@ near 1) to do O(surface) work in three phases, all sized for the TPU:
 
 1. **Coarse pass** (device): evaluate a 4x-strided lattice, grouped so each
    fine (8, 8, 16) block owns 2x2x4 coarse samples; reduce to per-block
-   (min, max).  A block can contain a zero crossing only if
-   ``min |f| < lip * r_cov`` where ``r_cov`` is the cover radius of its
-   sample grid — every other block is *provably* sign-constant for any
-   field with Lipschitz constant <= ``lip``.
+   (min, max).  A block's data can matter to the surface only if
+   ``min |f| < lip * (r_cov + ||h||)`` where ``r_cov`` is the cover radius
+   of its sample grid and ``||h||`` one cell diagonal (the slack covers
+   corners the block contributes to cells owned by minus-side neighbors) —
+   every other block is *provably* sign-constant and seam-irrelevant for
+   any field with Lipschitz constant <= ``lip``.
 2. **Fine pass** (device): evaluate ONLY candidate blocks.  Each block is
    exactly one 1024-point kernel tile ((8, 8, 16) voxels), so the fused
    ensemble kernel's per-tile member culling fires at full strength.  The
@@ -376,7 +378,14 @@ def extract_mesh_sparse(
     cmm = np.asarray(cmm_dev)  # [n_blocks, 2]
     h = (np.asarray(maxi) - np.asarray(mini)) / (res - 1)
     r_cov = float(np.linalg.norm(np.asarray(COARSE) / 2.0 * h))
-    margin = float(lip) * r_cov
+    # Margin covers not just zeros INSIDE a block (distance <= r_cov from
+    # its nearest coarse sample) but also the corners a block contributes
+    # to cells OWNED by minus-side neighbors: such a corner is within one
+    # cell diagonal (||h||) of that cell's zero crossing, so a NEEDED
+    # block's best coarse sample can read up to lip*(r_cov + ||h||).  With
+    # the smaller lip*r_cov margin a needed corner-neighbor could be
+    # skipped, silently dropping or shifting triangles near block seams.
+    margin = float(lip) * (r_cov + float(np.linalg.norm(h)))
     min_abs = np.where(
         (cmm[:, 0] <= 0.0) & (cmm[:, 1] >= 0.0),
         0.0,

@@ -131,6 +131,7 @@ class IdentityTrainer:
             fused = getattr(decoder, "kind", None) == "nphm" and plat == "tpu"
         self._fields_fn = None
         self._fields_fn_dp = None
+        self._fused_ok = False  # set after the first successful fused step
         if fused:
             from nphm_tpu.ops.pallas_train import apply_nphm_train_pallas
 
@@ -342,18 +343,27 @@ class IdentityTrainer:
             self.logger.log(avg, step=epoch)
 
     def _run_train_step(self, batch, lr, lr_lat):
-        """One train step; if the fused Pallas kernel fails to compile for
+        """One train step; if the fused Pallas kernel fails to COMPILE for
         this architecture (tiny/unusual dims), rebuild on the XLA path and
-        retry (compile errors surface before any buffer is donated)."""
+        retry (compile errors surface before any buffer is donated).  Only
+        the first-ever fused execution is guarded: once a fused step has
+        succeeded, a later failure is a genuine runtime error (e.g. a TPU
+        worker crash) — falling back then would wrongly blame the kernel
+        and retry with already-donated buffers."""
         step = self._pick(self._train_step, self._train_step_dp, batch)
-        try:
+        if self._fields_fn is None or self._fused_ok:
             return step(
                 self.params, self.opt_state, self.latents, self.lat_state,
                 batch, lr, lr_lat,
             )
+        try:
+            out = step(
+                self.params, self.opt_state, self.latents, self.lat_state,
+                batch, lr, lr_lat,
+            )
+            self._fused_ok = True
+            return out
         except Exception as e:  # noqa: BLE001 — relay wraps compile errors
-            if self._fields_fn is None:
-                raise
             self._disable_fused(e)
             step = self._pick(self._train_step, self._train_step_dp, batch)
             return step(

@@ -26,24 +26,19 @@ def dummy_root(tmp_path_factory):
 
 
 def _env(root):
+    from _subproc import cpu_subprocess_env
+
     from nphm_tpu.data.dummy import dummy_env
 
-    env = dict(os.environ)
-    env.update(dummy_env(root))
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    # shadow any environment-injected sitecustomize that would re-pin jax to
-    # a TPU backend and ignore JAX_PLATFORMS (see tests/_cpu_site)
-    env["PYTHONPATH"] = os.path.join(REPO, "tests", "_cpu_site") + (
-        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    return cpu_subprocess_env(
+        dummy_env(root), xla_flags="--xla_force_host_platform_device_count=2"
     )
-    return env
 
 
 def _run(args, env):
     proc = subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=1800,
     )
     if proc.returncode != 0:
         raise AssertionError(

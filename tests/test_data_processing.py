@@ -27,17 +27,11 @@ def raw_root(tmp_path_factory):
 
 
 def _env(root):
+    from _subproc import cpu_subprocess_env
+
     from nphm_tpu.data.dummy import dummy_env
 
-    env = dict(os.environ)
-    env.update(dummy_env(root))
-    env["JAX_PLATFORMS"] = "cpu"
-    # shadow any environment-injected sitecustomize that would re-pin jax to
-    # a TPU backend and ignore JAX_PLATFORMS (see tests/_cpu_site)
-    env["PYTHONPATH"] = os.path.join(REPO, "tests", "_cpu_site") + (
-        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
-    )
-    return env
+    return cpu_subprocess_env(dummy_env(root))
 
 
 def _run(args, env):

@@ -99,14 +99,9 @@ def test_eval_and_gather_cli(tmp_path):
 
     root = str(tmp_path / "dummy")
     generate_dummy_data(root, subjects=(143,), n_expressions=2)
-    env = dict(os.environ)
-    env.update(dummy_env(root))
-    env["JAX_PLATFORMS"] = "cpu"
-    # shadow any environment-injected sitecustomize that would re-pin jax to
-    # a TPU backend and ignore JAX_PLATFORMS (see tests/_cpu_site)
-    env["PYTHONPATH"] = os.path.join(REPO, "tests", "_cpu_site") + (
-        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
-    )
+    from _subproc import cpu_subprocess_env
+
+    env = cpu_subprocess_env(dummy_env(root))
 
     result_dir = str(tmp_path / "results")
     os.makedirs(result_dir)

@@ -231,7 +231,7 @@ def test_fit_joint_fused_failure_falls_back_to_xla(monkeypatch, capsys):
     XLA path instead of crashing the fit."""
     from nphm_tpu.fitting import inference as inf
 
-    def fake_fields(decoder_shape, cfg):
+    def fake_fields(decoder_shape, cfg, mesh=None):
         if cfg.fused_shape_fields in ("off", False):
             return None
 
