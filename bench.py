@@ -205,6 +205,21 @@ def _bench_train_step(B: int = 32, n_scan: int = 10, n_extra_calls: int = 0):
     return t_step, flops / t_step / 1e12, decoder, params, table[0]
 
 
+def _guard(extra, name, fn):
+    """Run one bench leg fail-soft.
+
+    The driver consumes bench's single JSON line; a relay hiccup or worker
+    crash in one leg must cost that leg's fields, not the whole artifact.
+    Failures are recorded as ``<leg>_error`` fields.
+    """
+    try:
+        fn()
+        return True
+    except Exception as e:  # noqa: BLE001 — leg failures are data, not fatal
+        extra[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+        return False
+
+
 def main():
     cfg = NPHMConfig()
     decoder = make_nphm_decoder(cfg, _mean_anchors())
@@ -212,12 +227,14 @@ def main():
     lat = (jax.random.normal(jax.random.PRNGKey(1), (1, cfg.lat_dim)) * 0.1)
 
     n_queries = RES**3
-    use_pallas = (
+    want_pallas = (
         jax.default_backend() == "tpu"
         and os.environ.get("BENCH_NO_PALLAS") != "1"
     )
-    t_xfer = None
-    if use_pallas:
+    extra = {}
+    st = {}  # cross-leg products
+
+    def eval_pallas():
         # Fused Pallas ensemble kernel over an on-device brick-ordered grid.
         # Device compute is timed through a scalar reduction: the axon relay
         # moves bulk device->host data at low, unstable bandwidth, which
@@ -237,15 +254,51 @@ def main():
             t0 = time.perf_counter()
             float(probe(params, lat[0]))
             times.append(time.perf_counter() - t0)
-        t_eval = min(times)
+        st["t_eval"] = min(times)
 
         t0 = time.perf_counter()
-        logits = pallas_grid_logits(
+        st["logits"] = pallas_grid_logits(
             decoder, params, lat, GRID_MIN, GRID_MAX, RES,
             transfer_dtype=np.float16,  # relay link is transfer-limited
         )
-        t_xfer = time.perf_counter() - t0 - t_eval  # ~= host transfer cost
+        extra["relay_transfer_s"] = round(
+            max(time.perf_counter() - t0 - st["t_eval"], 0.0), 3
+        )
+        extra["path"] = "pallas"
 
+    def eval_xla():
+        chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
+        evaluator = make_sdf_evaluator(decoder, chunk_size=chunk)
+        grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, RES)
+        run = lambda: evaluator(  # noqa: E731
+            {"params": params, "lat": lat}, grid_points
+        )[:, 0]
+        st["logits"] = run()  # warm up / compile
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            st["logits"] = run()
+            times.append(time.perf_counter() - t0)
+        st["t_eval"] = min(times)
+        extra["path"] = "xla"
+
+    use_pallas = want_pallas and _guard(extra, "pallas_eval", eval_pallas)
+    if not use_pallas:
+        _guard(extra, "xla_eval", eval_xla)
+
+    def leg_mc():
+        t0 = time.perf_counter()
+        mesh = mesh_from_logits(st["logits"], GRID_MIN, GRID_MAX, RES)
+        t_mc = time.perf_counter() - t0
+        extra["res256_eval_s"] = round(st["t_eval"], 3)
+        extra["res256_mc_s"] = round(t_mc, 3)
+        extra["res256_total_s"] = round(st["t_eval"] + t_mc, 3)
+        extra["mesh_verts"] = int(len(mesh.vertices))
+
+    if "t_eval" in st:
+        _guard(extra, "mc", leg_mc)
+
+    def leg_stream():
         # Overlapped pipeline (eval || transfer || marching tets), the
         # production extraction path (VERDICT r1 item 4).  End-to-end wall
         # time INCLUDING the mesh, f16 transfer.
@@ -260,51 +313,21 @@ def main():
             decoder, params, lat, GRID_MIN, GRID_MAX, RES,
             transfer_dtype=np.float16,
         )
-        t_stream = time.perf_counter() - t0
+        extra["res256_stream_e2e_s"] = round(time.perf_counter() - t0, 3)
+        extra["stream_verts"] = int(len(mesh_s.vertices))
         if os.environ.get("BENCH_NO_R400") != "1":
             t0 = time.perf_counter()
             mesh_400 = extract_mesh_streamed(
                 decoder, params, lat, GRID_MIN, GRID_MAX, 400,
                 n_slabs=10, transfer_dtype=np.float16,
             )
-            t_r400 = time.perf_counter() - t0
-    else:
-        chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
-        evaluator = make_sdf_evaluator(decoder, chunk_size=chunk)
-        grid_points = create_grid_points_from_bounds(GRID_MIN, GRID_MAX, RES)
-        run = lambda: evaluator(  # noqa: E731
-            {"params": params, "lat": lat}, grid_points
-        )[:, 0]
-        logits = run()  # warm up / compile
-        times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            logits = run()
-            times.append(time.perf_counter() - t0)
-        t_eval = min(times)
-    qps = n_queries / t_eval
-
-    t0 = time.perf_counter()
-    mesh = mesh_from_logits(logits, GRID_MIN, GRID_MAX, RES)
-    t_mc = time.perf_counter() - t0
-
-    extra = {
-        "res256_eval_s": round(t_eval, 3),
-        "res256_mc_s": round(t_mc, 3),
-        "res256_total_s": round(t_eval + t_mc, 3),
-        "mesh_verts": int(len(mesh.vertices)),
-        "path": "pallas" if use_pallas else "xla",
-    }
-    if t_xfer is not None:
-        extra["relay_transfer_s"] = round(max(t_xfer, 0.0), 3)
-    if use_pallas:
-        extra["res256_stream_e2e_s"] = round(t_stream, 3)
-        extra["stream_verts"] = int(len(mesh_s.vertices))
-        if os.environ.get("BENCH_NO_R400") != "1":
-            extra["res400_stream_e2e_s"] = round(t_r400, 3)
+            extra["res400_stream_e2e_s"] = round(time.perf_counter() - t0, 3)
             extra["res400_verts"] = int(len(mesh_400.vertices))
 
-    if use_pallas and os.environ.get("BENCH_NO_TRAIN") != "1":
+    if use_pallas:
+        _guard(extra, "stream", leg_stream)
+
+    def leg_train():
         # hot loop #1: the identity train step (fwd + eikonal double backprop
         # + both optimizer updates) through the fused Pallas training kernel
         # (ops/pallas_train.py).  Round-1 XLA baseline: 323 ms/step at this
@@ -316,50 +339,54 @@ def main():
         )
         extra["train_step_s"] = round(t_step, 4)
         extra["train_tflops"] = round(tflops, 2)
+        st["trained"] = (tdec, tparams, tlat)
 
-        if os.environ.get("BENCH_NO_SPARSE") != "1":
-            # sparse two-pass extraction on the trained model: coarse
-            # Lipschitz-margin selection + per-block fine eval + straddling-
-            # blocks-only transfer (reconstruction/sparse.py).  Random-init
-            # fields are a worst case (surface fills the box), so this leg
-            # measures on the 300-step-trained ellipsoid model.
-            from nphm_tpu.reconstruction.sparse import (
-                _probe_lip, extract_mesh_sparse,
+    if use_pallas and os.environ.get("BENCH_NO_TRAIN") != "1":
+        _guard(extra, "train", leg_train)
+
+    def leg_sparse():
+        # sparse two-pass extraction on the trained model: coarse
+        # Lipschitz-margin selection + per-block fine eval + straddling-
+        # blocks-only transfer (reconstruction/sparse.py).  Random-init
+        # fields are a worst case (surface fills the box), so this leg
+        # measures on the 300-step-trained ellipsoid model.
+        from nphm_tpu.reconstruction.sparse import (
+            _probe_lip, extract_mesh_sparse,
+        )
+
+        tdec, tparams, tlat = st["trained"]
+        # the library's own finite-difference probe (one formula, one
+        # margin semantics); capped for timing realism — an
+        # eikonal-trained SDF has ||grad|| ~= 1, and this leg's
+        # 300-step model is only partially there
+        lip = _probe_lip(
+            tdec, tparams, tlat, GRID_MIN, GRID_MAX,
+            use_pallas=True, interpret=False, kw_items=(),
+        )
+        lip = min(lip, 4.0) * 1.25
+        for res in (256, 400):
+            if res == 400 and os.environ.get("BENCH_NO_R400") == "1":
+                continue
+            stats = {}
+            kw = dict(lip=lip, transfer_dtype=np.float16, stats=stats)
+            extract_mesh_sparse(
+                tdec, tparams, tlat, GRID_MIN, GRID_MAX, res, **kw
+            )  # warm/compile
+            t0 = time.perf_counter()
+            mesh_sp = extract_mesh_sparse(
+                tdec, tparams, tlat, GRID_MIN, GRID_MAX, res, **kw
+            )
+            extra[f"sparse{res}_e2e_s"] = round(time.perf_counter() - t0, 3)
+            extra[f"sparse{res}_verts"] = int(len(mesh_sp.vertices))
+            extra[f"sparse{res}_blocks"] = (
+                f"{stats['n_transferred']}/{stats['n_candidates']}"
+                f"/{stats['n_blocks']}"
             )
 
-            # the library's own finite-difference probe (one formula, one
-            # margin semantics); capped for timing realism — an
-            # eikonal-trained SDF has ||grad|| ~= 1, and this leg's
-            # 300-step model is only partially there
-            lip = _probe_lip(
-                tdec, tparams, tlat, GRID_MIN, GRID_MAX,
-                use_pallas=True, interpret=False, kw_items=(),
-            )
-            lip = min(lip, 4.0) * 1.25
-            for res in (256, 400):
-                if res == 400 and os.environ.get("BENCH_NO_R400") == "1":
-                    continue
-                st = {}
-                kw = dict(
-                    lip=lip, transfer_dtype=np.float16, stats=st,
-                )
-                extract_mesh_sparse(
-                    tdec, tparams, tlat, GRID_MIN, GRID_MAX, res, **kw
-                )  # warm/compile
-                t0 = time.perf_counter()
-                mesh_sp = extract_mesh_sparse(
-                    tdec, tparams, tlat, GRID_MIN, GRID_MAX, res, **kw
-                )
-                extra[f"sparse{res}_e2e_s"] = round(
-                    time.perf_counter() - t0, 3
-                )
-                extra[f"sparse{res}_verts"] = int(len(mesh_sp.vertices))
-                extra[f"sparse{res}_blocks"] = (
-                    f"{st['n_transferred']}/{st['n_candidates']}"
-                    f"/{st['n_blocks']}"
-                )
+    if "trained" in st and os.environ.get("BENCH_NO_SPARSE") != "1":
+        _guard(extra, "sparse", leg_sparse)
 
-    if use_pallas and os.environ.get("BENCH_NO_NPM") != "1":
+    def leg_npm():
         # model family #1 (BASELINE.json configs): NPM global-latent DeepSDF
         # random-head sampling at res 128 through the chunked XLA evaluator
         # (measured faster than the layer-streamed kernel for this trunk)
@@ -385,13 +412,17 @@ def main():
         extra["npm_res128_sample_s"] = round(time.perf_counter() - t0, 3)
         extra["npm_verts"] = int(len(mesh_npm.vertices))
 
+    if use_pallas and os.environ.get("BENCH_NO_NPM") != "1":
+        _guard(extra, "npm", leg_npm)
+
     if os.environ.get("BENCH_NO_MULTI") != "1":
         extra["multichip"] = _bench_multichip()
 
-    if os.environ.get("BENCH_NO_FIT") != "1":
+    def leg_fit():
         # driver metric #3 (BASELINE.json): fitting iterations/sec through
         # the production joint-fit engine (Broyden correspondences + IFT
-        # gradients + two Adam updates, ONE compiled lax.scan)
+        # gradients + two Adam updates, ONE compiled lax.scan; warm-started
+        # correspondence store)
         from nphm_tpu.fitting import FittingConfig, fit_joint
         from nphm_tpu.models import DeformationConfig, make_deformation_decoder
 
@@ -399,14 +430,23 @@ def main():
         expr = make_deformation_decoder(dcfg)
         p_expr = expr.init(jax.random.PRNGKey(2))
         rng = np.random.default_rng(0)
-        obs = [rng.normal(size=(2500, 3)).astype(np.float32) * 0.3 for _ in range(20)]
+        obs = [
+            rng.normal(size=(2500, 3)).astype(np.float32) * 0.3
+            for _ in range(20)
+        ]
         n_fit = int(os.environ.get("BENCH_FIT_STEPS", 200))
         fc = FittingConfig(n_steps=n_fit, log_every=100000)
-        fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)  # compile
+        fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)
         t0 = time.perf_counter()
         fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)
-        extra["fit_iters_per_s"] = round(n_fit / (time.perf_counter() - t0), 2)
+        extra["fit_iters_per_s"] = round(
+            n_fit / (time.perf_counter() - t0), 2
+        )
 
+    if os.environ.get("BENCH_NO_FIT") != "1":
+        _guard(extra, "fit", leg_fit)
+
+    qps = n_queries / st["t_eval"] if "t_eval" in st else 0.0
     print(
         json.dumps(
             {
