@@ -394,8 +394,11 @@ def main():
                 f"/{stats['n_blocks']}"
             )
 
-    if "trained" in st and os.environ.get("BENCH_NO_SPARSE") != "1":
-        _guard(extra, "sparse", leg_sparse, optional=True)
+    if os.environ.get("BENCH_NO_SPARSE") != "1":
+        if "trained" in st:
+            _guard(extra, "sparse", leg_sparse, optional=True)
+        else:
+            extra["sparse_skipped"] = "train leg unavailable"
 
     def leg_npm():
         # model family #1 (BASELINE.json configs): NPM global-latent DeepSDF
@@ -426,11 +429,11 @@ def main():
     if use_pallas and os.environ.get("BENCH_NO_NPM") != "1":
         _guard(extra, "npm", leg_npm, optional=True)
 
+    def leg_multichip():
+        extra["multichip"] = _bench_multichip()
+
     if os.environ.get("BENCH_NO_MULTI") != "1":
-        if time.time() - _T_START > _DEADLINE_S:
-            extra["multichip"] = {"skipped": "time budget"}
-        else:
-            extra["multichip"] = _bench_multichip()
+        _guard(extra, "multichip", leg_multichip, optional=True)
 
     def leg_fit():
         # driver metric #3 (BASELINE.json): fitting iterations/sec through

@@ -239,7 +239,12 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, args, tag, mesh=None):
         return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
     except Exception as e:  # noqa: BLE001 — the relay wraps compile errors
         blob = f"{type(e).__name__}: {e}".lower()
-        kernel_compile = "mosaic" in blob or "pallas" in blob
+        # compile-failure signatures (incl. relay-wrapped and VMEM-overflow
+        # forms); genuine runtime errors ("worker crashed", HBM OOM) fall
+        # through and reach fit_joint_batch_resilient's bisection untouched
+        kernel_compile = any(
+            sig in blob for sig in ("mosaic", "pallas", "compile", "vmem")
+        )
         if not kernel_compile or _shape_fields_fn(decoder_shape, cfg, mesh) is None:
             raise
         print(

@@ -131,7 +131,6 @@ class IdentityTrainer:
             fused = getattr(decoder, "kind", None) == "nphm" and plat == "tpu"
         self._fields_fn = None
         self._fields_fn_dp = None
-        self._fused_ok = False  # set after the first successful fused step
         if fused:
             from nphm_tpu.ops.pallas_train import apply_nphm_train_pallas
 
@@ -164,6 +163,8 @@ class IdentityTrainer:
         architecture (e.g. tiny dims Mosaic rejects) — training then
         continues on the XLA fields path."""
         import functools
+
+        self._fused_ok_steps = set()  # (step id, batch shapes) that succeeded
 
         # matmul precision is a trace-time setting: "default" is
         # f32-equivalent (3-pass bf16); "bfloat16" trades one pass of
@@ -346,12 +347,20 @@ class IdentityTrainer:
         """One train step; if the fused Pallas kernel fails to COMPILE for
         this architecture (tiny/unusual dims), rebuild on the XLA path and
         retry (compile errors surface before any buffer is donated).  Only
-        the first-ever fused execution is guarded: once a fused step has
-        succeeded, a later failure is a genuine runtime error (e.g. a TPU
-        worker crash) — falling back then would wrongly blame the kernel
-        and retry with already-donated buffers."""
+        the first execution of each compiled program variant is guarded:
+        once that variant has succeeded, a later failure is a genuine
+        runtime error (e.g. a TPU worker crash) — falling back then would
+        wrongly blame the kernel and retry with already-donated buffers."""
         step = self._pick(self._train_step, self._train_step_dp, batch)
-        if self._fields_fn is None or self._fused_ok:
+        # guard per COMPILED PROGRAM, not per trainer: the DP step, the
+        # single-device step (ragged trailing batches), and each new batch
+        # shape compile the fused kernel separately, and any of them can be
+        # the variant Mosaic rejects
+        key = (
+            id(step),
+            tuple(sorted((k, tuple(v.shape)) for k, v in batch.items())),
+        )
+        if self._fields_fn is None or key in self._fused_ok_steps:
             return step(
                 self.params, self.opt_state, self.latents, self.lat_state,
                 batch, lr, lr_lat,
@@ -361,7 +370,7 @@ class IdentityTrainer:
                 self.params, self.opt_state, self.latents, self.lat_state,
                 batch, lr, lr_lat,
             )
-            self._fused_ok = True
+            self._fused_ok_steps.add(key)
             return out
         except Exception as e:  # noqa: BLE001 — relay wraps compile errors
             self._disable_fused(e)

@@ -185,8 +185,11 @@ def main():
             ident, n_expressions=2, n_points=1000,
             batch_size=min(args.subjects, 8), warp_scale=0.08,
         )
+        # val warps must be over the VAL identity dataset: the trainer
+        # conditions val batches on shape_state["latents_val"], whose rows
+        # are that dataset's subjects
         def_val = SyntheticDeformationDataset(
-            ident, n_expressions=1, n_points=1000,
+            val, n_expressions=1, n_points=1000,
             batch_size=2, seed=9,
         )
         ddec = make_deformation_decoder(dcfg)

@@ -131,8 +131,12 @@ def test_deformation_moves_mesh_toward_posed_gate(trained, tmp_path):
     train_ds = SyntheticDeformationDataset(
         ident, n_expressions=2, batch_size=4, warp_scale=0.08
     )
+    # val warps must cover the VAL identity subjects: the trainer indexes
+    # shape_state["latents_val"] (2 rows, from the fixture's 2-subject val
+    # identity dataset) with the val deformation dataset's subj_ind
+    ident_val = SyntheticIdentityDataset(n_subjects=2, batch_size=2, seed=5)
     val_ds = SyntheticDeformationDataset(
-        ident, n_expressions=1, batch_size=4, seed=9
+        ident_val, n_expressions=1, batch_size=4, seed=9
     )
     dcfg = DeformationConfig(
         mode="expr_only", lat_dim_expr=8, hidden_dim=64, n_layers=4
