@@ -187,6 +187,19 @@ def test_full_cli_pipeline(dummy_root, tmp_path):
     assert len(meshes) >= 4, meshes  # 2 subjects x 2 expressions
     assert len(lats) >= 4
 
+    # --- fitting: -batch_subjects (vmapped group fit, auto subject-mesh
+    # over the 2 virtual devices) ------------------------------------------
+    _run(
+        ["scripts/fitting/fitting_pointclouds.py", "-cfg_file", fit_cfg_path,
+         "-exp_name", "tiny", "-exp_tag", "demo_batch", "-demo",
+         "-batch_subjects", "2", "-n_steps", "10", "-resolution", "32",
+         "-batch_points", "4096"],
+        env,
+    )
+    batch_dir = os.path.join(env["NPHM_FITTING_DIR"], "forward_tiny",
+                             "demo_batch")
+    assert len([f for f in os.listdir(batch_dir) if f.endswith(".ply")]) >= 4
+
     # --- evaluation: render-sample + metrics + gather ---------------------
     _run(
         ["scripts/evaluation/eval.py", "--result_dir", out_dir,
