@@ -159,6 +159,20 @@ def _masked_mean(values, mask):
     return jnp.sum(values * mask) / denom
 
 
+# Per-step history terms, packed into ONE [T, K] device array before the
+# host pull: each separate device->host transfer pays the relay's ~26 ms
+# round-trip floor, so a dict of ~10 scalar-series arrays costs more to
+# fetch than the fit steps it describes.
+_JOINT_HIST_KEYS = (
+    "loss", "n_valid", "reg_expr", "reg_global", "reg_loc",
+    "reg_unobserved", "surface", "symm_dist",
+)
+_ID_HIST_KEYS = (
+    "loss", "reg_global", "reg_loc", "reg_unobserved", "surface",
+    "symm_dist",
+)
+
+
 def _shape_regularizers(decoder, lat_shape, unobserved):
     """Latent regularizers for the ensemble decoder's structured code
     (reference fitting.py:140-160)."""
@@ -366,15 +380,16 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
                 lambda p, u: p - lr * u, lat_e, upd_e
             )
             aux["loss"] = loss
-            return (lat_s, lat_e, os_state, oe_state, store), aux
+            hist = jnp.stack([aux[k] for k in _JOINT_HIST_KEYS])
+            return (lat_s, lat_e, os_state, oe_state, store), hist
 
         with jax.default_matmul_precision(cfg.matmul_precision):
-            (lat_s, lat_e, os_state, oe_state, _), history = jax.lax.scan(
+            (lat_s, lat_e, _, _, _), history = jax.lax.scan(
                 step,
                 (lat_shape, lat_expr, os_state, oe_state, store0),
                 jnp.arange(lr_arr.shape[0]),
             )
-        return (lat_s, lat_e, os_state, oe_state), history
+        return (lat_s, lat_e), history
 
     return jax.jit(run)
 
@@ -496,12 +511,12 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
             return (lat_s, lat_e, os_state, oe_state, store), losses
 
         with jax.default_matmul_precision(cfg.matmul_precision):
-            (lat_s, lat_e, os_state, oe_state, _), losses = jax.lax.scan(
+            (lat_s, lat_e, _, _, _), losses = jax.lax.scan(
                 step,
                 (lat_shape, lat_expr, os_state, oe_state, store0),
                 jnp.arange(lr_arr.shape[0]),
             )
-        return lat_s, lat_e, os_state, oe_state, losses
+        return lat_s, lat_e, losses
 
     if mesh is None:
         block = scan_block
@@ -514,13 +529,13 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
             scan_block,
             mesh=mesh,
             in_specs=(D, D, D, D, D, D, D, D, R, R, R, R, R, R),
-            out_specs=(D, D, D, D, P(None, DATA_AXIS)),
+            out_specs=(D, D, P(None, DATA_AXIS)),
             check_vma=False,  # pallas_call out_shape carries no vma
         )
 
     def run(*args):
-        lat_s, lat_e, os_state, oe_state, losses = block(*args)
-        return (lat_s, lat_e, os_state, oe_state), losses
+        lat_s, lat_e, losses = block(*args)
+        return (lat_s, lat_e), losses
 
     return jax.jit(run)
 
@@ -591,7 +606,7 @@ def fit_joint(
     opt_expr_state = adam.init(lat_expr)
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    ((lat_shape, lat_expr, _, _), history), elapsed = _run_with_xla_fallback(
+    ((lat_shape, lat_expr), hist), elapsed = _run_with_xla_fallback(
         lambda c: _joint_runner(decoder_shape, decoder_expr, c, lam_keys),
         cfg, decoder_shape,
         (lat_shape, lat_expr, opt_shape_state, opt_expr_state,
@@ -599,6 +614,7 @@ def fit_joint(
          lr_arr, lam_mat, clamp_arr),
         "fit_joint",
     )
+    history = {k: hist[:, i] for i, k in enumerate(_JOINT_HIST_KEYS)}
     lat_expr = lat_expr[:n_obs]
     if verbose:
         for j in range(0, total, max(1, cfg.log_every)):
@@ -700,7 +716,7 @@ def fit_joint_batch(
     opt_expr_state = jax.vmap(adam.init)(lat_expr)
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    ((lat_shape, lat_expr, _, _), losses), elapsed = _run_with_xla_fallback(
+    ((lat_shape, lat_expr), losses), elapsed = _run_with_xla_fallback(
         lambda c: _joint_batch_runner(
             decoder_shape, decoder_expr, c, lam_keys, mesh
         ),
@@ -854,12 +870,14 @@ def _identity_runner(decoder_shape, cfg: FittingConfig, lam_keys):
             upd, o_state = adam.update(g, o_state, lat_s)
             lat_s = lat_s - lr_arr[j] * upd
             aux["loss"] = loss
-            return (lat_s, o_state), aux
+            hist = jnp.stack([aux[k] for k in _ID_HIST_KEYS])
+            return (lat_s, o_state), hist
 
         with jax.default_matmul_precision(cfg.matmul_precision):
-            return jax.lax.scan(
+            (lat_s, _), history = jax.lax.scan(
                 step, (lat_shape, opt_state), jnp.arange(lr_arr.shape[0])
             )
+        return lat_s, history
 
     return jax.jit(run)
 
@@ -920,13 +938,14 @@ def fit_identity(
     opt_state = adam.init(lat_shape)
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    ((lat_shape, _), history), elapsed = _run_with_xla_fallback(
+    ((lat_shape, hist)), elapsed = _run_with_xla_fallback(
         lambda c: _identity_runner(decoder_shape, c, lam_keys),
         cfg, decoder_shape,
         (lat_shape, opt_state, params_shape, padded, lens, n_obs, base_key,
          lr_arr, lam_mat, clamp_arr),
         "fit_identity",
     )
+    history = {k: hist[:, i] for i, k in enumerate(_ID_HIST_KEYS)}
     if verbose:
         print(f"[fit_identity] {total} steps in {elapsed:.1f}s "
               f"({total / max(elapsed, 1e-9):.1f} it/s), "
