@@ -296,7 +296,7 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
     fused_fields = _shape_fields_fn(decoder_shape, cfg)
     warm = cfg.warm_start_corresp
 
-    def loss_fn(lat_s, lat_e, params_shape, params_expr, padded, lens,
+    def loss_fn(lat_s, lat_e, params_shape, params_expr, padded,
                 lam_row, clamp_j, sel, idx, xc0, broyden_steps):
         _, anchors = decoder_shape.apply(
             params_shape,
@@ -364,7 +364,7 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
             else:
                 xc0, bsteps = None, cfg.broyden_max_steps
             (loss, aux), (g_s, g_e) = grad_fn(
-                lat_s, lat_e, params_shape, params_expr, padded, lens,
+                lat_s, lat_e, params_shape, params_expr, padded,
                 lam_mat[:, j], clamp_arr[j], sel, idx, xc0, bsteps,
             )
             xc_opt = aux.pop("xc_opt")
