@@ -452,7 +452,7 @@ def main():
             for _ in range(20)
         ]
         # 1000 = the reference protocol's step count; short fits are
-        # dominated by ~0.7 s of per-call overhead (obs transfer through
+        # dominated by ~0.5 s of per-call overhead (obs transfer through
         # the relay + output materialization) and under-report it/s
         n_fit = int(os.environ.get("BENCH_FIT_STEPS", 1000))
         fc = FittingConfig(n_steps=n_fit, log_every=100000)
