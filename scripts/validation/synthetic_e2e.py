@@ -249,6 +249,49 @@ def main():
             _chamfer(mesh_def, gt_posed), 5
         )
 
+        # --- the FULL protocol: joint identity+expression fit of a
+        # HELD-OUT subject from POSED observations (Broyden correspondence
+        # search through the trained warp + IFT gradients), then canonical
+        # extraction and per-expression deformation — the reference's
+        # fitting_pointclouds.py pipeline end to end ----------------------
+        from nphm_tpu.fitting import fit_joint
+
+        posed_obs = []
+        warp_scans = [0, 1, 2]  # scan 0 = subject 0's neutral-ish warp
+        for ws in warp_scans:
+            cloud = _ellipsoid_surface(
+                radii, center, 2500, np.random.default_rng(100 + ws)
+            )[0]
+            posed_obs.append(def_train.warp(ws, cloud).astype(np.float32))
+        fcj = FittingConfig(
+            n_steps=args.fit_steps, n_obs_per_batch=3,
+            n_points_per_obs=1000, log_every=10**9,
+        )
+        t0 = time.time()
+        lat_e, lat_s, anchors_fit, _h = fit_joint(
+            dec, tr.params, ddec, dtr.params, posed_obs, cfg=fcj,
+            verbose=False,
+        )
+        out["joint_fit_s"] = round(time.time() - t0, 2)
+        mesh_can = extract_mesh(
+            dec, tr.params, np.asarray(lat_s).reshape(1, -1), *BOX,
+            args.resolution,
+        )
+        out["joint_canonical_chamfer"] = round(
+            _chamfer(mesh_can, _gt_surface(radii, center)), 5
+        )
+        mesh_posed0 = deform_mesh(
+            mesh_can, ddec, dtr.params, np.asarray(lat_e[1])[None],
+            anchors=None if anchors_fit is None else np.asarray(anchors_fit[0]),
+            lat_shape=np.asarray(lat_s).reshape(1, -1),
+        )
+        gt_posed_heldout = def_train.warp(
+            warp_scans[1], _gt_surface(radii, center)
+        )
+        out["joint_posed_chamfer"] = round(
+            _chamfer(mesh_posed0, gt_posed_heldout), 5
+        )
+
     out["total_s"] = round(time.time() - t_all, 1)
     print(json.dumps(out))
 
