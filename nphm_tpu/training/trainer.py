@@ -64,6 +64,20 @@ def _adamw_mask(params):
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+def _accumulate_terms(sums: dict, terms: dict) -> dict:
+    """Accumulate a dict of device scalars with ONE device->host pull.
+
+    ``float(v)`` per term is a separate device sync; through the axon relay
+    each pays a ~26 ms round-trip, so a ~10-term metrics dict costs more to
+    fetch than the train step it summarizes.  Stack on device, pull once.
+    """
+    keys = sorted(terms)
+    vals = np.asarray(jnp.stack([terms[k] for k in keys]))
+    for k, v in zip(keys, vals):
+        sums[k] = sums.get(k, 0.0) + float(v)
+    return sums
+
+
 class IdentityTrainer:
     def __init__(
         self,
@@ -322,8 +336,7 @@ class IdentityTrainer:
                         terms,
                     ) = self._run_train_step(batch, lr, lr_lat)
                 count += 1
-                for k, v in terms.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                _accumulate_terms(sums, terms)
 
             if epoch % interval == 0:
                 self.save_checkpoint(epoch)
@@ -391,8 +404,7 @@ class IdentityTrainer:
                 self.latents_val, self.lat_state_val, self.params, batch, lr_lat
             )
             count += 1
-            for k, v in terms.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            _accumulate_terms(sums, terms)
         return {k: v / max(count, 1) for k, v in sums.items()}
 
     # ------------------------------------------------------------ persistence

@@ -37,7 +37,7 @@ from nphm_tpu.training.latents import (
     row_adam_update,
 )
 from nphm_tpu.training.losses import deformation_loss
-from nphm_tpu.training.trainer import _adamw_mask
+from nphm_tpu.training.trainer import _adamw_mask, _accumulate_terms
 from nphm_tpu.utils.logging_utils import MetricsLogger
 
 RECON_BOX_MIN = (-0.35, -0.45, -0.15)
@@ -261,8 +261,7 @@ class DeformationTrainer:
                     batch, lr, lr_lat, sub,
                 )
                 count += 1
-                for k, v in terms.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                _accumulate_terms(sums, terms)
 
             if epoch % interval == 0:
                 self.save_checkpoint(epoch)
@@ -291,8 +290,7 @@ class DeformationTrainer:
                 self.latents_val, self.lat_state_val, self.params, batch, lr_lat, sub
             )
             count += 1
-            for k, v in terms.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            _accumulate_terms(sums, terms)
         return {k: v / max(count, 1) for k, v in sums.items()}
 
     # ----------------------------------------------------------- persistence
