@@ -64,18 +64,33 @@ def _adamw_mask(params):
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
-def _accumulate_terms(sums: dict, terms: dict) -> dict:
-    """Accumulate a dict of device scalars with ONE device->host pull.
+class _TermAccumulator:
+    """Accumulate per-step metric-term dicts ON DEVICE; one pull per epoch.
 
-    ``float(v)`` per term is a separate device sync; through the axon relay
-    each pays a ~26 ms round-trip, so a ~10-term metrics dict costs more to
-    fetch than the train step it summarizes.  Stack on device, pull once.
+    ``float(v)`` per term is a separate device sync and even a packed
+    per-step pull still blocks the host every step (each round-trip costs
+    ~26 ms through the axon relay, defeating async dispatch between
+    steps).  ``add`` only enqueues a stack+add on device; ``averages``
+    performs the single host transfer.
     """
-    keys = sorted(terms)
-    vals = np.asarray(jnp.stack([terms[k] for k in keys]))
-    for k, v in zip(keys, vals):
-        sums[k] = sums.get(k, 0.0) + float(v)
-    return sums
+
+    def __init__(self):
+        self.keys = None
+        self.vec = None
+        self.count = 0
+
+    def add(self, terms: dict) -> None:
+        if self.keys is None:
+            self.keys = sorted(terms)
+        vec = jnp.stack([terms[k] for k in self.keys])
+        self.vec = vec if self.vec is None else self.vec + vec
+        self.count += 1
+
+    def averages(self) -> dict:
+        if self.count == 0:
+            return {}
+        vals = np.asarray(self.vec) / self.count
+        return {k: float(v) for k, v in zip(self.keys, vals)}
 
 
 class IdentityTrainer:
@@ -324,7 +339,7 @@ class IdentityTrainer:
             lr = jnp.float32(self.lr_at(epoch))
             lr_lat = jnp.float32(self.lr_lat_at(epoch))
 
-            sums, count = {}, 0
+            acc = _TermAccumulator()
             for batch in self.train_dataset.batch_iter(seed=epoch):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 with self._timer.step():
@@ -335,8 +350,7 @@ class IdentityTrainer:
                         self.lat_state,
                         terms,
                     ) = self._run_train_step(batch, lr, lr_lat)
-                count += 1
-                _accumulate_terms(sums, terms)
+                acc.add(terms)
 
             if epoch % interval == 0:
                 self.save_checkpoint(epoch)
@@ -347,7 +361,7 @@ class IdentityTrainer:
                 self.val_min = val["loss"]
                 ckpt.update_val_min(self.exp_path, epoch, val["loss"])
 
-            avg = {k: v / max(count, 1) for k, v in sums.items()}
+            avg = acc.averages()
             msg = f"Epoch {epoch:5d} ({time.time()-t0:.1f}s)"
             for k in sorted(avg):
                 msg += f" {k} {avg[k]:.4f}/{val.get(k, float('nan')):.4f}"
@@ -396,16 +410,15 @@ class IdentityTrainer:
     def compute_val_loss(self, lr_lat):
         """Optimize validation latents with the decoder frozen
         (reference training.py:250-275)."""
-        sums, count = {}, 0
+        acc = _TermAccumulator()
         for batch in self.val_dataset.batch_iter(seed=0):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             vstep = self._pick(self._val_step, self._val_step_dp, batch)
             self.latents_val, self.lat_state_val, terms = vstep(
                 self.latents_val, self.lat_state_val, self.params, batch, lr_lat
             )
-            count += 1
-            _accumulate_terms(sums, terms)
-        return {k: v / max(count, 1) for k, v in sums.items()}
+            acc.add(terms)
+        return acc.averages()
 
     # ------------------------------------------------------------ persistence
 

@@ -37,7 +37,7 @@ from nphm_tpu.training.latents import (
     row_adam_update,
 )
 from nphm_tpu.training.losses import deformation_loss
-from nphm_tpu.training.trainer import _adamw_mask, _accumulate_terms
+from nphm_tpu.training.trainer import _adamw_mask, _TermAccumulator
 from nphm_tpu.utils.logging_utils import MetricsLogger
 
 RECON_BOX_MIN = (-0.35, -0.45, -0.15)
@@ -249,7 +249,7 @@ class DeformationTrainer:
             t0 = time.time()
             lr = jnp.float32(self.lr_at(epoch))
             lr_lat = jnp.float32(self.lr_lat_at(epoch))
-            sums, count = {}, 0
+            acc = _TermAccumulator()
             for batch in self.train_dataset.batch_iter(seed=epoch):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 self._rng, sub = jax.random.split(self._rng)
@@ -260,8 +260,7 @@ class DeformationTrainer:
                     self.params, self.opt_state, self.latents, self.lat_state,
                     batch, lr, lr_lat, sub,
                 )
-                count += 1
-                _accumulate_terms(sums, terms)
+                acc.add(terms)
 
             if epoch % interval == 0:
                 self.save_checkpoint(epoch)
@@ -272,7 +271,7 @@ class DeformationTrainer:
                 self.val_min = val["loss"]
                 ckpt.update_val_min(self.exp_path, epoch, val["loss"])
 
-            avg = {k: v / max(count, 1) for k, v in sums.items()}
+            avg = acc.averages()
             msg = f"Epoch {epoch:5d} ({time.time()-t0:.1f}s)"
             for k in sorted(avg):
                 msg += f" {k} {avg[k]:.6f}/{val.get(k, float('nan')):.6f}"
@@ -281,7 +280,7 @@ class DeformationTrainer:
             self.logger.log(avg, step=epoch)
 
     def compute_val_loss(self, lr_lat):
-        sums, count = {}, 0
+        acc = _TermAccumulator()
         for batch in self.val_dataset.batch_iter(seed=0):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self._rng, sub = jax.random.split(self._rng)
@@ -289,9 +288,8 @@ class DeformationTrainer:
             self.latents_val, self.lat_state_val, terms = vstep(
                 self.latents_val, self.lat_state_val, self.params, batch, lr_lat, sub
             )
-            count += 1
-            _accumulate_terms(sums, terms)
-        return {k: v / max(count, 1) for k, v in sums.items()}
+            acc.add(terms)
+        return acc.averages()
 
     # ----------------------------------------------------------- persistence
 

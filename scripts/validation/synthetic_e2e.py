@@ -256,20 +256,18 @@ def main():
         # fitting_pointclouds.py pipeline end to end ----------------------
         from nphm_tpu.fitting import fit_joint
 
+        n_scans = len(def_train.subject_steps)
+        warp_scans = [i % n_scans for i in range(3)]  # 3 trained warps
+        eval_obs = 1 % len(warp_scans)  # the observation evaluated below
         posed_obs = []
-        warp_scans = [0, 1, 2]  # scan 0 = subject 0's neutral-ish warp
-        for ws in warp_scans:
+        for i, ws in enumerate(warp_scans):
             cloud = _ellipsoid_surface(
-                radii, center, 2500, np.random.default_rng(100 + ws)
+                radii, center, 2500, np.random.default_rng(100 + i)
             )[0]
             posed_obs.append(def_train.warp(ws, cloud).astype(np.float32))
-        fcj = FittingConfig(
-            n_steps=args.fit_steps, n_obs_per_batch=3,
-            n_points_per_obs=1000, log_every=10**9,
-        )
         t0 = time.time()
         lat_e, lat_s, anchors_fit, _h = fit_joint(
-            dec, tr.params, ddec, dtr.params, posed_obs, cfg=fcj,
+            dec, tr.params, ddec, dtr.params, posed_obs, cfg=fc,
             verbose=False,
         )
         out["joint_fit_s"] = round(time.time() - t0, 2)
@@ -280,16 +278,16 @@ def main():
         out["joint_canonical_chamfer"] = round(
             _chamfer(mesh_can, _gt_surface(radii, center)), 5
         )
-        mesh_posed0 = deform_mesh(
-            mesh_can, ddec, dtr.params, np.asarray(lat_e[1])[None],
+        mesh_posed_eval = deform_mesh(
+            mesh_can, ddec, dtr.params, np.asarray(lat_e[eval_obs])[None],
             anchors=None if anchors_fit is None else np.asarray(anchors_fit[0]),
             lat_shape=np.asarray(lat_s).reshape(1, -1),
         )
         gt_posed_heldout = def_train.warp(
-            warp_scans[1], _gt_surface(radii, center)
+            warp_scans[eval_obs], _gt_surface(radii, center)
         )
         out["joint_posed_chamfer"] = round(
-            _chamfer(mesh_posed0, gt_posed_heldout), 5
+            _chamfer(mesh_posed_eval, gt_posed_heldout), 5
         )
 
     out["total_s"] = round(time.time() - t_all, 1)
