@@ -29,6 +29,7 @@ import numpy as np
 import optax
 
 from nphm_tpu.fitting.broyden import ift_correction, search
+from nphm_tpu.ops.fallback import kernel_compile_error
 from nphm_tpu.utils.math import safe_l2norm, sq_norm
 
 
@@ -241,25 +242,19 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, args, tag, mesh=None):
     If the fused-kernel variant fails to COMPILE (tiny architectures hit a
     Mosaic "only constant accumulators supported" error — see
     .claude/skills/verify/SKILL.md), rebuild the program on the XLA path
-    and retry once.  Only kernel-compile signatures trigger the fallback:
-    a genuine runtime failure (OOM, worker crash, NaN guard) must surface
-    immediately rather than be replayed — more slowly — on XLA, and must
-    reach ``fit_joint_batch_resilient``'s bisection untouched.  Returns
-    (materialized outputs, elapsed seconds of the successful run).
+    and retry once.  Only kernel-compile signatures (ops/fallback.py)
+    trigger the fallback: a genuine runtime failure (OOM, worker crash,
+    NaN guard) must surface immediately rather than be replayed — more
+    slowly — on XLA, and must reach ``fit_joint_batch_resilient``'s
+    bisection untouched.  Returns (materialized outputs, elapsed seconds
+    of the successful run).
     """
     t0 = time.time()
     try:
         out = make_run(cfg)(*args)
         return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
     except Exception as e:  # noqa: BLE001 — the relay wraps compile errors
-        blob = f"{type(e).__name__}: {e}".lower()
-        # compile-failure signatures (incl. relay-wrapped and VMEM-overflow
-        # forms); genuine runtime errors ("worker crashed", HBM OOM) fall
-        # through and reach fit_joint_batch_resilient's bisection untouched
-        kernel_compile = any(
-            sig in blob for sig in ("mosaic", "pallas", "compile", "vmem")
-        )
-        if not kernel_compile or _shape_fields_fn(decoder_shape, cfg, mesh) is None:
+        if not kernel_compile_error(e) or _shape_fields_fn(decoder_shape, cfg, mesh) is None:
             raise
         print(
             f"[{tag}] fused-kernel fit program failed "
@@ -280,20 +275,20 @@ def _coerce_cfg(cfg: FittingConfig) -> FittingConfig:
     )
 
 
-@functools.lru_cache(maxsize=64)
-def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
-    """Build-and-cache the compiled joint-fit program.
+def _make_joint_loss(decoder_shape, decoder_expr, cfg: FittingConfig,
+                     lam_keys, fused_fields):
+    """The ONE joint-fit loss body, shared by the single-subject and batched
+    runners (reference fitting.py:98-162: anchors -> Broyden search -> IFT
+    correction -> clamped |sdf| + regularizers).
 
-    Everything data-like (schedules, observations, latents, params) is an
-    ARGUMENT of the jitted function; only decoders/config/loss-key order are
-    closed over.  Repeat fits (e.g. the 23-subject eval protocol, or every
-    re-invocation in a long session) therefore reuse one executable instead
-    of re-tracing and re-compiling a ~20 s scan per call.
+    Returns ``loss_fn(lat_s, lat_e, params_shape, params_expr, padded,
+    lam_row, clamp_j, sel, idx, xc0, broyden_steps) -> (loss, aux)`` with
+    ``aux = {**terms, "n_valid", "xc_opt"}``.  Callers that only consume a
+    subset of ``aux`` (the batched runner keeps just loss + xc_opt) pay
+    nothing extra: unused aux outputs are dead-code-eliminated by XLA.
     """
-    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+    nb = cfg.n_obs_per_batch
     use_anchors = decoder_shape.lat_dim_glob is not None
-    adam = optax.scale_by_adam()
-    fused_fields = _shape_fields_fn(decoder_shape, cfg)
     warm = cfg.warm_start_corresp
 
     def loss_fn(lat_s, lat_e, params_shape, params_expr, padded,
@@ -344,6 +339,26 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
         aux["xc_opt"] = xc_opt
         return loss, aux
 
+    return loss_fn
+
+
+@functools.lru_cache(maxsize=64)
+def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
+    """Build-and-cache the compiled joint-fit program.
+
+    Everything data-like (schedules, observations, latents, params) is an
+    ARGUMENT of the jitted function; only decoders/config/loss-key order are
+    closed over.  Repeat fits (e.g. the 23-subject eval protocol, or every
+    re-invocation in a long session) therefore reuse one executable instead
+    of re-tracing and re-compiling a ~20 s scan per call.
+    """
+    nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
+    adam = optax.scale_by_adam()
+    fused_fields = _shape_fields_fn(decoder_shape, cfg)
+    warm = cfg.warm_start_corresp
+    loss_fn = _make_joint_loss(
+        decoder_shape, decoder_expr, cfg, lam_keys, fused_fields
+    )
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
     def run(lat_shape, lat_expr, os_state, oe_state, params_shape, params_expr,
@@ -407,57 +422,13 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
     single-device program (the RNG folds the GLOBAL subject index, passed in
     as ``subj_idx``)."""
     nb, npp = cfg.n_obs_per_batch, cfg.n_points_per_obs
-    use_anchors = decoder_shape.lat_dim_glob is not None
     adam = optax.scale_by_adam()
     fused_fields = _shape_fields_fn(decoder_shape, cfg, mesh)
     warm = cfg.warm_start_corresp
-
-    def subject_loss(lat_s, lat_e, params_shape, params_expr, s_padded,
-                     lam_row, clamp_j, sel, idx, xc0, broyden_steps):
-        _, anchors = decoder_shape.apply(
-            params_shape,
-            jnp.zeros((1, 1, 3)),
-            lat_s,
-            training=cfg.training_mode_shape,
-        )
-        obs = jnp.take_along_axis(s_padded[sel], idx[..., None], axis=1)
-        cond = jnp.concatenate(
-            [jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1])), lat_e[sel]], axis=-1
-        )
-        anchors_b = (
-            jnp.broadcast_to(anchors, (nb,) + anchors.shape[1:])
-            if use_anchors and anchors is not None
-            else None
-        )
-        xc_opt, result = search(
-            decoder_expr, params_expr, obs, cond, anchors_b,
-            max_steps=broyden_steps,
-            cvg_thresh=cfg.broyden_cvg,
-            dvg_thresh=cfg.broyden_dvg,
-            xc_init=xc0,
-            identity_j_init=warm and cfg.warm_identity_jacobian,
-        )
-        xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
-        lat_b = jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1]))
-        if fused_fields is not None:
-            sdf = fused_fields(params_shape, xc, lat_b)
-        else:
-            sdf, _ = decoder_shape.apply(
-                params_shape, xc, lat_b, training=cfg.training_mode_shape
-            )
-        l = jnp.abs(sdf[..., 0])
-        mask = jnp.logical_and(result["valid_ids"], l < clamp_j).astype(l.dtype)
-        terms = {"surface": _masked_mean(l, mask)}
-        terms["reg_expr"] = jnp.mean(sq_norm(lat_e[sel]))
-        terms.update(
-            _shape_regularizers(decoder_shape, lat_s, cfg.unobserved_anchors)
-        )
-        loss = 0.0
-        for i, k in enumerate(lam_keys):
-            loss = loss + lam_row[i] * terms[k]
-        return loss, xc_opt
-
-    grad_fn = jax.value_and_grad(subject_loss, argnums=(0, 1), has_aux=True)
+    loss_fn = _make_joint_loss(
+        decoder_shape, decoder_expr, cfg, lam_keys, fused_fields
+    )
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
     def scan_block(lat_shape, lat_expr, os_state, oe_state, padded, lens,
                    n_obs, subj_idx, params_shape, params_expr, base_key,
@@ -488,12 +459,12 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
                     if warm
                     else None
                 )
-                (loss, xc_opt), (g_s, g_e) = grad_fn(
+                (loss, aux), (g_s, g_e) = grad_fn(
                     lat_s_s, lat_e_s, params_shape, params_expr, pad_s,
                     lam_mat[:, j], clamp_arr[j], sel, idx, xc0, bsteps,
                 )
                 if warm:
-                    store_s = store_s.at[sel[:, None], idx].set(xc_opt)
+                    store_s = store_s.at[sel[:, None], idx].set(aux["xc_opt"])
                 upd_s, os_s = adam.update(g_s, os_s, lat_s_s)
                 upd_e, oe_s = adam.update(g_e, oe_s, lat_e_s)
                 return (
@@ -556,6 +527,16 @@ def fit_joint(
     """Joint identity + expression fitting with Broyden correspondences.
 
     Returns (lat_expr [n_obs, E], lat_shape [1, D], anchors, history dict).
+
+    Default numerics note: ``cfg.warm_start_corresp=True`` (with
+    ``broyden_warm_steps``) warm-starts the root-find from each point's
+    previous root, while the reference cold-re-inits from x_posed with 15
+    Broyden iterations every step (iterative_root_finding.py:108).
+    Converged roots agree only up to ``broyden_cvg``, so an exact
+    reference-TRAJECTORY comparison needs
+    ``FittingConfig(warm_start_corresp=False)`` (like
+    ``matmul_precision="default"``, which is already the reference-faithful
+    setting).  The fixed points, loss floor, and n_valid match either way.
     """
     cfg = _coerce_cfg(cfg)
     lambdas = dict(lambdas or default_joint_lambdas())

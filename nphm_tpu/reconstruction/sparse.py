@@ -332,7 +332,10 @@ def extract_mesh_sparse(
     eikonal-trained SDF has |grad f| ~= 1; the default 2.0 doubles that as
     safety.  Raising it enlarges the candidate set (slower, safer); a value
     below the field's true constant can miss surface in blocks whose coarse
-    samples all read far.  ``lip="auto"`` probes a res-64 dense grid and
+    samples all read far.  A zero-cost post-hoc check compares the
+    candidate blocks' observed fine-scale variation against the assumed
+    bound and emits a ``RuntimeWarning`` (plus ``stats["lip_observed"]``)
+    when the assumption is violated.  ``lip="auto"`` probes a res-64 dense grid and
     uses 2x the measured finite-difference gradient bound (heuristic: fine-
     scale detail can exceed the coarse-probe bound).  ``lip=inf``
     degenerates to dense evaluation.
@@ -410,6 +413,29 @@ def extract_mesh_sparse(
             decoder, mini, maxi, res, tdt, params, lat, jnp.asarray(ids)
         )
     fmm = np.asarray(minmax_dev)[: len(cand)]  # small transfer
+
+    # --- soundness check of the Lipschitz assumption (zero extra evals):
+    # each candidate block's fine (max - min) is bounded by lip * diam for
+    # any field with Lipschitz constant <= lip.  A violation means blocks
+    # OUTSIDE the candidate set could also contain surface that the coarse
+    # margin silently skipped (early-training checkpoints, non-eikonal
+    # decoders) — warn instead of dropping geometry without a trace.
+    block_diag = float(np.linalg.norm(np.asarray(BLOCK) * h))
+    lip_observed = float((fmm[:, 1] - fmm[:, 0]).max() / block_diag)
+    if stats is not None:
+        stats["lip_observed"] = lip_observed
+    if lip_observed > float(lip):
+        import warnings
+
+        warnings.warn(
+            f"extract_mesh_sparse: observed in-block field variation implies "
+            f"Lipschitz constant >= {lip_observed:.2f} > assumed lip="
+            f"{float(lip):.2f}; the coarse pass may have skipped blocks "
+            f"containing surface.  Pass lip={lip_observed * 2:.1f} or "
+            f"lip='auto' (or use the dense path) for a sound extraction.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # --- phase 3: straddle test over block + 7 "+"-side neighbors
     nbx, nby, nbz = nb

@@ -36,6 +36,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nphm_tpu import env_paths
+from nphm_tpu.ops.fallback import kernel_compile_error
 from nphm_tpu.parallel.mesh import DATA_AXIS
 from nphm_tpu.reconstruction.extract import make_sdf_evaluator
 from nphm_tpu.training import checkpoints as ckpt
@@ -374,10 +375,13 @@ class IdentityTrainer:
         """One train step; if the fused Pallas kernel fails to COMPILE for
         this architecture (tiny/unusual dims), rebuild on the XLA path and
         retry (compile errors surface before any buffer is donated).  Only
-        the first execution of each compiled program variant is guarded:
-        once that variant has succeeded, a later failure is a genuine
-        runtime error (e.g. a TPU worker crash) — falling back then would
-        wrongly blame the kernel and retry with already-donated buffers."""
+        the first execution of each compiled program variant is guarded,
+        and only kernel-compile signatures (ops/fallback.py) trigger the
+        fallback: a transient runtime failure (relay hiccup, HBM OOM,
+        worker crash) on a variant's first batch re-raises — falling back
+        then would wrongly blame the kernel, permanently disable it, and
+        retry with buffers already donated to the failed call (a confusing
+        deleted-buffer error instead of the real one)."""
         step = self._pick(self._train_step, self._train_step_dp, batch)
         # guard per COMPILED PROGRAM, not per trainer: the DP step, the
         # single-device step (ragged trailing batches), and each new batch
@@ -400,6 +404,8 @@ class IdentityTrainer:
             self._fused_ok_steps.add(key)
             return out
         except Exception as e:  # noqa: BLE001 — relay wraps compile errors
+            if not kernel_compile_error(e):
+                raise
             self._disable_fused(e)
             step = self._pick(self._train_step, self._train_step_dp, batch)
             return step(
