@@ -65,6 +65,26 @@ def _adamw_mask(params):
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+def _grad_norm_terms(g_params, g_table):
+    """Per-layer gradient L2 norms as metric terms (the TPU-native stand-in
+    for the reference's ``wandb.watch`` gradient histograms, training.py:90:
+    a per-layer-norm time series in the metrics stream instead of host-side
+    histogram pulls).  Device-side scalars — they ride the epoch's single
+    packed metric pull (``_TermAccumulator``) at no extra sync cost.
+    Opt-in via cfg ``log_grad_norms: true``."""
+
+    def norm(tree):
+        return jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(tree))
+        )
+
+    terms = {}
+    for key, sub in g_params.items():
+        terms[f"gnorm_{key}"] = norm(sub)
+    terms["gnorm_latents"] = norm(g_table)
+    return terms
+
+
 class _TermAccumulator:
     """Accumulate per-step metric-term dicts ON DEVICE; one pull per epoch.
 
@@ -295,6 +315,8 @@ class IdentityTrainer:
         table, lat_state = row_adam_update(table, g_table, lat_state, idx, lr_lat)
         terms = dict(terms)
         terms["loss"] = loss
+        if self.cfg.get("log_grad_norms"):
+            terms.update(_grad_norm_terms(g_params, g_table))
         return params, opt_state, table, lat_state, terms
 
     def _val_step_impl(self, table, lat_state, params, batch, lr_lat, *,

@@ -37,7 +37,11 @@ from nphm_tpu.training.latents import (
     row_adam_update,
 )
 from nphm_tpu.training.losses import deformation_loss
-from nphm_tpu.training.trainer import _adamw_mask, _TermAccumulator
+from nphm_tpu.training.trainer import (
+    _adamw_mask,
+    _grad_norm_terms,
+    _TermAccumulator,
+)
 from nphm_tpu.utils.logging_utils import MetricsLogger
 
 RECON_BOX_MIN = (-0.35, -0.45, -0.15)
@@ -112,6 +116,15 @@ class DeformationTrainer:
         self.val_min = None
         self.past_eval_steps = 0
         self._rng = jax.random.PRNGKey(seed + 1)
+        # seeded random eval order for recon logging (reference
+        # training_corresp.py:118: np.random.permutation per split) — a
+        # sequential walk would only ever show the first few scans of a
+        # large dataset over a 500-epoch logging interval
+        perm_rng = np.random.default_rng(seed + 2)
+        self.eval_perm = {
+            "train": perm_rng.permutation(len(train_dataset)),
+            "val": perm_rng.permutation(len(val_dataset)),
+        }
 
         self._sdf_eval = None
         self._def_eval = None
@@ -205,6 +218,8 @@ class DeformationTrainer:
         table, lat_state = row_adam_update(table, g_table, lat_state, idx, lr_lat)
         terms = dict(terms)
         terms["loss"] = loss
+        if self.cfg.get("log_grad_norms"):
+            terms.update(_grad_norm_terms(g_params, g_table))
         return params, opt_state, table, lat_state, terms
 
     def _val_step_impl(self, table, lat_state, params, batch, lr_lat, rng):
@@ -328,9 +343,25 @@ class DeformationTrainer:
     # --------------------------------------------------------------- logging
 
     def log_recs(self, epoch: int, mode: str = "val", n_recs: int = 5):
-        """Reconstruct the neutral head and deform it per expression
-        (reference training_corresp.py:327-411, minus dataset-GT exports when
-        no DataManager is wired in)."""
+        """Reconstruct + deform sample scans, with GT-registration exports.
+
+        Full parity with reference ``training_corresp.py:327-411``: for each
+        of ``n_recs`` scans drawn from the seeded random ``eval_perm``, export
+        up to FIVE mesh sets (exports at reference ``:381-390``):
+
+        - ``mesh_{subj}_neutral.ply`` — marching-cubes reconstruction of the
+          neutral head from the frozen identity decoder,
+        - ``mesh_{subj}_e{expr}.ply`` — that reconstruction pushed through
+          the trained deformation field,
+        - ``gt_{subj}_e{expr}.ply`` — the GT POSED registration mesh,
+        - ``reg_{subj}_neutral.ply`` — the GT NEUTRAL registration mesh,
+        - ``reg_{subj}_e{expr}.ply`` — the GT neutral registration pushed
+          through the deformation field (the qualitative debugging view:
+          rec-independent deformation quality).
+
+        The three GT exports need a DataManager with registration meshes;
+        datasets without one (synthetic fixtures) get the first two only.
+        """
         try:
             d_set = self.train_dataset if mode == "train" else self.val_dataset
             table = self.latents if mode == "train" else self.latents_val
@@ -352,13 +383,28 @@ class DeformationTrainer:
                 self.decoder_shape
             ):
                 self._sdf_eval = make_sdf_evaluator(self.decoder_shape)
+            manager = getattr(d_set, "manager", None)
             for jj in range(min(n_recs, len(d_set))):
-                rnd = (jj + self.past_eval_steps) % len(d_set)
+                rnd = int(
+                    self.eval_perm[mode][
+                        (jj + self.past_eval_steps) % len(d_set)
+                    ]
+                )
                 self.past_eval_steps += 1
                 subj_ind = int(np.asarray(d_set.subject_index[rnd]))
+                subj = d_set.subject_steps[rnd]
+                expr = d_set.steps[rnd] if hasattr(d_set, "steps") else rnd
                 lat_shape = shape_table[subj_ind][None]
                 lat_expr = table[rnd][None]
                 anchors = self._anchors_for(lat_shape, {})
+
+                def _deform(m):
+                    return deform_mesh(
+                        m, self.decoder, self.params, lat_expr,
+                        anchors=anchors, lat_shape=lat_shape,
+                        evaluator=self._def_eval,
+                    )
+
                 mesh = extract_mesh(
                     self.decoder_shape,
                     self.params_shape,
@@ -368,12 +414,26 @@ class DeformationTrainer:
                     self.recon_resolution,
                     evaluator=self._sdf_eval,
                 )
-                deformed = deform_mesh(
-                    mesh, self.decoder, self.params, lat_expr,
-                    anchors=anchors, lat_shape=lat_shape,
-                    evaluator=self._def_eval,
+                mesh.export(os.path.join(exp_dir, f"mesh_{subj}_neutral.ply"))
+                _deform(mesh).export(
+                    os.path.join(exp_dir, f"mesh_{subj}_e{expr}.ply")
                 )
-                mesh.export(os.path.join(exp_dir, f"mesh_{rnd}_neutral.ply"))
-                deformed.export(os.path.join(exp_dir, f"mesh_{rnd}_posed.ply"))
+                if manager is not None:
+                    can_expr = d_set.neutral_expr_index[subj]
+                    m_gt = manager.get_registration_mesh(
+                        subject=subj, expression=can_expr
+                    )
+                    m_gt_posed = manager.get_registration_mesh(
+                        subject=subj, expression=expr
+                    )
+                    m_gt_posed.export(
+                        os.path.join(exp_dir, f"gt_{subj}_e{expr}.ply")
+                    )
+                    m_gt.export(
+                        os.path.join(exp_dir, f"reg_{subj}_neutral.ply")
+                    )
+                    _deform(m_gt).export(
+                        os.path.join(exp_dir, f"reg_{subj}_e{expr}.ply")
+                    )
         except Exception as e:
             self.logger.print(f"[log_recs] failed: {e}")

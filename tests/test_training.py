@@ -470,3 +470,129 @@ def test_deformation_trainer_learns_warps(tmp_path):
 
     first, last = history[0]["corresp"], history[-1]["corresp"]
     assert last < first * 0.15, f"corresp {first} -> {last}"
+
+
+def test_stage2_log_recs_five_exports(tmp_path):
+    """Stage-2 recon logging exports the reference's FIVE mesh sets per
+    sample when a DataManager is wired (training_corresp.py:381-390): rec
+    neutral + rec posed + GT posed + GT neutral registration + deformed GT
+    registration — drawn in seeded-random eval_perm order."""
+    from nphm_tpu.data.dummy import generate_dummy_data
+    from nphm_tpu.data.manager import DataManager
+    from nphm_tpu.training.trainer_corresp import DeformationTrainer
+
+    root = str(tmp_path / "dummy")
+    generate_dummy_data(root, subjects=(351, 365), n_expressions=2)
+    manager = DataManager(dummy_path=root)
+
+    class _DSet:
+        """Minimal stage-2 dataset surface consumed by log_recs."""
+
+        def __init__(self):
+            self.manager = manager
+            self.subject_steps = [351, 351, 365, 365]
+            self.steps = [0, 1, 0, 1]
+            self.subject_index = [0, 0, 1, 1]
+            self.neutral_expr_index = {351: 0, 365: 0}
+
+        def __len__(self):
+            return 4
+
+        def batch_iter(self, seed=0):
+            return iter(())
+
+    dec_shape = make_npm_decoder(
+        DeepSDFConfig(lat_dim=4, hidden_dim=16, n_layers=2,
+                      geometric_init=True, radius_init=0.25)
+    )
+    params_shape = dec_shape.init(jax.random.PRNGKey(0))
+    dcfg = DeformationConfig(
+        mode="expr_only", lat_dim_expr=8, hidden_dim=32, n_layers=2
+    )
+    ddec = make_deformation_decoder(dcfg)
+    dparams = ddec.init(jax.random.PRNGKey(1))
+    shape_state = {
+        "params": params_shape,
+        "latents": np.zeros((2, 4), np.float32),
+        "latents_val": np.zeros((2, 4), np.float32),
+    }
+    cfg = {
+        "training": {
+            "batch_size": 2, "ckpt_interval": 10**9,
+            "lambdas": {"corresp": 1.0, "lat_reg": 1e-4, "loss_reg_zero": 1e-4},
+            "lr": 0.001, "lr_lat": 0.001,
+            "lr_decay_factor": 0.5, "lr_decay_factor_lat": 0.5,
+            "lr_decay_interval": 100, "lr_decay_interval_lat": 100,
+            "weight_decay": 0.0,
+        }
+    }
+    msgs = []
+    logger = MetricsLogger(quiet=True)
+    logger.print = lambda m: msgs.append(str(m))
+    tr = DeformationTrainer(
+        ddec, dparams, dec_shape, cfg, _DSet(), _DSet(), "recs_exp",
+        exp_dir=str(tmp_path), shape_state=shape_state,
+        recon_resolution=32, logger=logger,
+    )
+    tr.log_recs(epoch=0, mode="train", n_recs=2)
+
+    assert not any("failed" in m for m in msgs), msgs
+    rec_dir = os.path.join(str(tmp_path), "recs_exp", "recs", "train_epoch_0")
+    files = sorted(os.listdir(rec_dir))
+    import re
+
+    for pattern in (
+        r"mesh_\d+_neutral\.ply", r"mesh_\d+_e\d+\.ply",
+        r"gt_\d+_e\d+\.ply", r"reg_\d+_neutral\.ply", r"reg_\d+_e\d+\.ply",
+    ):
+        assert any(re.fullmatch(pattern, f) for f in files), (pattern, files)
+    # eval order follows the seeded permutation, not a sequential walk.
+    # Both jj and past_eval_steps advance per sample (reference
+    # training_corresp.py:342-343), so one call draws perm[0], perm[2].
+    perm = tr.eval_perm["train"]
+    drawn_subjects = {
+        tr.train_dataset.subject_steps[int(perm[i])] for i in (0, 2)
+    }
+    file_subjects = {
+        int(re.match(r"mesh_(\d+)_neutral\.ply", f).group(1))
+        for f in files if re.fullmatch(r"mesh_\d+_neutral\.ply", f)
+    }
+    assert file_subjects == drawn_subjects
+
+
+def test_grad_norm_logging_optin():
+    """cfg log_grad_norms=true adds per-layer gnorm_* terms to the metric
+    stream (the wandb.watch stand-in); off by default."""
+    from nphm_tpu.training.trainer import IdentityTrainer
+
+    ds = SyntheticIdentityDataset(n_subjects=2, batch_size=2, seed=0)
+    dec = make_npm_decoder(DeepSDFConfig(lat_dim=8, hidden_dim=16, n_layers=2))
+    base = {
+        "batch_size": 2, "ckpt_interval": 10**9,
+        "lr": 1e-3, "lr_lat": 1e-3,
+        "lr_decay_factor": 0.5, "lr_decay_factor_lat": 0.5,
+        "lr_decay_interval": 100, "lr_decay_interval_lat": 100,
+        "npoints_decoder": 50, "npoints_decoder_non": 50,
+        "sigma_near": 0.01, "weight_decay": 0.01,
+        "lambdas": {"lat_reg": 0.01, "surf_sdf": 2.0, "normals": 0.3,
+                    "space_sdf": 0.01, "grad": 0.1},
+    }
+    for flag, want in ((True, True), (False, False)):
+        cfg = {"training": dict(base, log_grad_norms=flag)}
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            # fresh params per trainer: the jitted step DONATES them
+            params = dec.init(jax.random.PRNGKey(0))
+            tr = IdentityTrainer(
+                dec, params, cfg, ds, ds, "g", exp_dir=tmp,
+                logger=MetricsLogger(quiet=True),
+            )
+            history = []
+            tr.logger.log = lambda m, step=None: history.append(m)
+            tr.train_model(1)
+        keys = set(history[0])
+        has = any(k.startswith("gnorm_") for k in keys)
+        assert has == want, (flag, sorted(keys))
+        if want:
+            assert "gnorm_latents" in keys
