@@ -356,16 +356,22 @@ def pallas_backward_grid_logits(
     jax.jit,
     static_argnames=(
         "cfg", "mini", "maxi", "res", "n_slabs", "tile", "interpret",
-        "transfer_dtype", "kernel_kw_items",
+        "transfer_dtype", "kernel_kw_items", "device_mesh",
     ),
 )
 def _slab_logits_run(
     cfg, mini, maxi, res, n_slabs, tile, interpret, transfer_dtype,
-    kernel_kw_items, params, lat, slab_idx,
+    kernel_kw_items, params, lat, slab_idx, device_mesh=None,
 ):
     """Brick-order SDF eval of ONE x-slab, returned in natural order
     [res/n_slabs, res, res].  ``slab_idx`` is traced, so one compiled
-    program serves every slab."""
+    program serves every slab.
+
+    device_mesh: optional ``jax.sharding.Mesh`` — the slab's brick-order
+    point range is sharded across its devices with ``shard_map`` (padded up
+    to whole per-device tiles with repeats of the slab's first point, which
+    are dropped after the gather), so the production res-400 streaming path
+    scales to a slice like the plain dense kernel."""
     from nphm_tpu.ops.pallas_ensemble import (
         _brick_points,
         _brick_shape,
@@ -381,11 +387,32 @@ def _slab_logits_run(
     ]
     per = res**3 // n_slabs
     lin = jnp.arange(per, dtype=jnp.int32) + slab_idx * per
-    pts = _brick_points(axes, lin, res, brick, tile)
-    sdf = nphm_sdf_pallas(
-        params, cfg, pts, lat, tile=tile, interpret=interpret,
-        **dict(kernel_kw_items),
-    )
+
+    def eval_lin(p, l, lin_part):
+        pts = _brick_points(axes, lin_part, res, brick, tile)
+        return nphm_sdf_pallas(
+            p, cfg, pts, l, tile=tile, interpret=interpret,
+            **dict(kernel_kw_items),
+        )
+
+    if device_mesh is None:
+        sdf = eval_lin(params, lat, lin)
+    else:
+        axis = device_mesh.axis_names[0]
+        n_dev = device_mesh.devices.size
+        pad = (-per) % (n_dev * tile)
+        lin_p = (
+            jnp.concatenate([lin, jnp.broadcast_to(lin[:1], (pad,))])
+            if pad
+            else lin
+        )
+        sdf = jax.shard_map(
+            eval_lin,
+            mesh=device_mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,  # pallas_call out_shape carries no vma info
+        )(params, lat, lin_p)[:per]
     # unbrick within the slab: the brick layout is periodic in x-blocks, so
     # the slab-local gather map is slab-independent
     h = res // n_slabs
@@ -425,6 +452,7 @@ def extract_mesh_streamed(
     n_slabs: Optional[int] = None,
     transfer_dtype=None,
     mc_workers: int = 3,
+    device_mesh=None,
     **kernel_kw,
 ) -> TriMesh:
     """Overlapped extraction: device eval, device->host transfer, and host
@@ -438,6 +466,8 @@ def extract_mesh_streamed(
 
     transfer_dtype: e.g. np.float16 halves the device->host pull (useful on
     transfer-limited links); marching tolerates the ~1e-3 rounding.
+    device_mesh: optional ``jax.sharding.Mesh`` — each slab's kernel grid is
+    sharded across its devices (logits identical to single-device).
     Falls back to ``extract_mesh`` when the decoder has no Pallas grid path
     or the resolution has no brick decomposition.
     """
@@ -448,7 +478,12 @@ def extract_mesh_streamed(
 
     interpret = kernel_kw.pop("interpret", None)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        plat = (
+            device_mesh.devices.flat[0].platform
+            if device_mesh is not None
+            else jax.default_backend()
+        )
+        interpret = plat != "tpu"
     tile = kernel_kw.pop("tile", DEFAULT_TILE)
     res = int(resolution)
     brick = _brick_shape(res, tile)
@@ -458,12 +493,14 @@ def extract_mesh_streamed(
             tile, brick = 1024, smaller
     if decoder.kind != "nphm" or brick is None:
         return extract_mesh(
-            decoder, params, encoding, mini, maxi, res,
+            decoder, params, encoding, mini, maxi, res, mesh=device_mesh,
             use_pallas=None if decoder.kind == "nphm" else False,
         )
     n_slabs = _pick_n_slabs(res, brick[0], n_slabs or 8)
     if n_slabs <= 1:
-        return extract_mesh(decoder, params, encoding, mini, maxi, res)
+        return extract_mesh(
+            decoder, params, encoding, mini, maxi, res, mesh=device_mesh
+        )
 
     lat = _as_lat(encoding)[0]
     mini = tuple(float(x) for x in mini)
@@ -480,7 +517,7 @@ def extract_mesh_streamed(
             decoder.cfg, mini, maxi, res, n_slabs, tile, interpret,
             None if transfer_dtype is None else np.dtype(transfer_dtype).name,
             tuple(sorted(kernel_kw.items())), params, lat,
-            jnp.int32(k),
+            jnp.int32(k), device_mesh=device_mesh,
         )
         for k in range(n_slabs)
     ]

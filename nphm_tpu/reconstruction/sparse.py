@@ -107,11 +107,40 @@ def _coarse_offsets():
     )  # [3, 16]
 
 
+def _shard_block_eval(eval_ids, device_mesh, params, lat, ids,
+                      blocks_per_granule: int):
+    """Run a per-block-ids evaluator with the ids axis sharded over a device
+    mesh.  ``ids`` is padded with repeats of its first entry up to
+    ``n_dev * blocks_per_granule`` (whole kernel tiles per device); callers
+    slice padding rows off each output.  Blocks are independent, so results
+    equal the single-device run exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = device_mesh.axis_names[0]
+    n_dev = device_mesh.devices.size
+    pad = (-ids.shape[0]) % (n_dev * blocks_per_granule)
+    ids_p = (
+        jnp.concatenate([ids, jnp.broadcast_to(ids[:1], (pad,))])
+        if pad
+        else ids
+    )
+    return jax.shard_map(
+        eval_ids,
+        mesh=device_mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )(params, lat, ids_p)
+
+
 @partial(
     jax.jit,
-    static_argnames=("cfg", "mini", "maxi", "res", "interpret", "kw_items"),
+    static_argnames=(
+        "cfg", "mini", "maxi", "res", "interpret", "kw_items", "device_mesh",
+    ),
 )
-def _coarse_run(cfg, mini, maxi, res, interpret, kw_items, params, lat):
+def _coarse_run(cfg, mini, maxi, res, interpret, kw_items, params, lat,
+                device_mesh=None):
     """Per-block (min, max) over each block's coarse samples: [n_blocks, 2]."""
     from nphm_tpu.ops.pallas_ensemble import nphm_sdf_pallas
 
@@ -120,11 +149,20 @@ def _coarse_run(cfg, mini, maxi, res, interpret, kw_items, params, lat):
     off = _coarse_offsets()
     n_local = off.shape[1]
     ids = jnp.arange(n_blocks, dtype=jnp.int32)
-    pts = _block_points(_axes(mini, maxi, res), ids, nb, off)
-    sdf = nphm_sdf_pallas(
-        params, cfg, pts, lat, tile=_TILE, interpret=interpret,
-        **dict(kw_items),
-    ).reshape(n_blocks, n_local)
+
+    def eval_ids(p, l, ids_part):
+        pts = _block_points(_axes(mini, maxi, res), ids_part, nb, off)
+        return nphm_sdf_pallas(
+            p, cfg, pts, l, tile=_TILE, interpret=interpret,
+            **dict(kw_items),
+        ).reshape(ids_part.shape[0], n_local)
+
+    if device_mesh is None:
+        sdf = eval_ids(params, lat, ids)
+    else:
+        sdf = _shard_block_eval(
+            eval_ids, device_mesh, params, lat, ids, _TILE // n_local
+        )[:n_blocks]
     return jnp.stack([sdf.min(axis=1), sdf.max(axis=1)], axis=-1)
 
 
@@ -132,12 +170,12 @@ def _coarse_run(cfg, mini, maxi, res, interpret, kw_items, params, lat):
     jax.jit,
     static_argnames=(
         "cfg", "mini", "maxi", "res", "interpret", "transfer_dtype",
-        "kw_items",
+        "kw_items", "device_mesh",
     ),
 )
 def _fine_run(
     cfg, mini, maxi, res, interpret, transfer_dtype, kw_items, params, lat,
-    block_ids,
+    block_ids, device_mesh=None,
 ):
     """Fine field of the candidate blocks.
 
@@ -145,15 +183,29 @@ def _fine_run(
     rows are discarded on the host).  Returns (data [K, 8, 8, 16] in
     ``transfer_dtype``, minmax [K, 2] f32).  ``data`` is NOT transferred by
     this call — the host pulls only the straddling subset via ``_gather``.
+    With ``device_mesh`` the candidate-block axis is sharded over the mesh
+    (one kernel tile per block per device; identical results).
     """
     from nphm_tpu.ops.pallas_ensemble import nphm_sdf_pallas
 
     nb = _block_grid(res)
-    pts = _block_points(_axes(mini, maxi, res), block_ids, nb, _fine_offsets())
-    sdf = nphm_sdf_pallas(
-        params, cfg, pts, lat, tile=_TILE, interpret=interpret,
-        **dict(kw_items),
-    ).reshape(block_ids.shape[0], _TILE)
+    K = block_ids.shape[0]
+
+    def eval_ids(p, l, ids_part):
+        pts = _block_points(
+            _axes(mini, maxi, res), ids_part, nb, _fine_offsets()
+        )
+        return nphm_sdf_pallas(
+            p, cfg, pts, l, tile=_TILE, interpret=interpret,
+            **dict(kw_items),
+        ).reshape(ids_part.shape[0], _TILE)
+
+    if device_mesh is None:
+        sdf = eval_ids(params, lat, block_ids)
+    else:
+        sdf = _shard_block_eval(
+            eval_ids, device_mesh, params, lat, block_ids, 1
+        )[:K]
     minmax = jnp.stack([sdf.min(axis=1), sdf.max(axis=1)], axis=-1)
     data = sdf.reshape(-1, *BLOCK)
     if transfer_dtype is not None:
@@ -177,9 +229,10 @@ def _chunked_apply(decoder, params, lat, pts, chunk=1 << 15):
 
 
 @partial(
-    jax.jit, static_argnames=("decoder", "mini", "maxi", "res")
+    jax.jit,
+    static_argnames=("decoder", "mini", "maxi", "res", "device_mesh"),
 )
-def _coarse_run_xla(decoder, mini, maxi, res, params, lat):
+def _coarse_run_xla(decoder, mini, maxi, res, params, lat, device_mesh=None):
     """XLA-path coarse pass for decoders without a fused grid kernel
     (NPM global DeepSDF — its large trunk runs near peak on plain XLA,
     see ops/pallas_mlp.py docstring measurements)."""
@@ -187,24 +240,47 @@ def _coarse_run_xla(decoder, mini, maxi, res, params, lat):
     n_blocks = nb[0] * nb[1] * nb[2]
     off = _coarse_offsets()
     ids = jnp.arange(n_blocks, dtype=jnp.int32)
-    pts = _block_points(_axes(mini, maxi, res), ids, nb, off)
-    sdf = _chunked_apply(decoder, params, lat, pts).reshape(
-        n_blocks, off.shape[1]
-    )
+
+    def eval_ids(p, l, ids_part):
+        pts = _block_points(_axes(mini, maxi, res), ids_part, nb, off)
+        return _chunked_apply(decoder, p, l, pts).reshape(
+            ids_part.shape[0], off.shape[1]
+        )
+
+    if device_mesh is None:
+        sdf = eval_ids(params, lat, ids)
+    else:
+        sdf = _shard_block_eval(
+            eval_ids, device_mesh, params, lat, ids, 1
+        )[:n_blocks]
     return jnp.stack([sdf.min(axis=1), sdf.max(axis=1)], axis=-1)
 
 
 @partial(
     jax.jit,
-    static_argnames=("decoder", "mini", "maxi", "res", "transfer_dtype"),
+    static_argnames=(
+        "decoder", "mini", "maxi", "res", "transfer_dtype", "device_mesh",
+    ),
 )
 def _fine_run_xla(decoder, mini, maxi, res, transfer_dtype, params, lat,
-                  block_ids):
+                  block_ids, device_mesh=None):
     nb = _block_grid(res)
-    pts = _block_points(_axes(mini, maxi, res), block_ids, nb, _fine_offsets())
-    sdf = _chunked_apply(decoder, params, lat, pts).reshape(
-        block_ids.shape[0], _TILE
-    )
+    K = block_ids.shape[0]
+
+    def eval_ids(p, l, ids_part):
+        pts = _block_points(
+            _axes(mini, maxi, res), ids_part, nb, _fine_offsets()
+        )
+        return _chunked_apply(decoder, p, l, pts).reshape(
+            ids_part.shape[0], _TILE
+        )
+
+    if device_mesh is None:
+        sdf = eval_ids(params, lat, block_ids)
+    else:
+        sdf = _shard_block_eval(
+            eval_ids, device_mesh, params, lat, block_ids, 1
+        )[:K]
     minmax = jnp.stack([sdf.min(axis=1), sdf.max(axis=1)], axis=-1)
     data = sdf.reshape(-1, *BLOCK)
     if transfer_dtype is not None:
@@ -324,6 +400,7 @@ def extract_mesh_sparse(
     transfer_dtype=None,
     interpret: Optional[bool] = None,
     stats: Optional[dict] = None,
+    device_mesh=None,
     **kernel_kw,
 ) -> TriMesh:
     """Sparse two-pass extraction (NPHM ensemble + NPM decoders, res % 16 == 0).
@@ -342,6 +419,9 @@ def extract_mesh_sparse(
 
     transfer_dtype: e.g. np.float16 halves the (already sparse) pull.
     stats: optional dict that receives candidate/transfer counts.
+    device_mesh: optional ``jax.sharding.Mesh`` — the coarse lattice and
+    the candidate-block fine pass are sharded across its devices (blocks
+    are independent: results identical to single-device).
     Falls back to ``extract_mesh`` for non-NPHM decoders or indivisible
     resolutions.
     """
@@ -349,9 +429,16 @@ def extract_mesh_sparse(
     if decoder.kind not in ("nphm", "npm") or res % 16 or res < 32:
         from nphm_tpu.reconstruction.extract import extract_mesh
 
-        return extract_mesh(decoder, params, encoding, mini, maxi, res)
+        return extract_mesh(
+            decoder, params, encoding, mini, maxi, res, mesh=device_mesh
+        )
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        plat = (
+            device_mesh.devices.flat[0].platform
+            if device_mesh is not None
+            else jax.default_backend()
+        )
+        interpret = plat != "tpu"
     # NPHM ensemble -> fused Pallas kernel (per-tile member culling);
     # NPM global trunk -> chunked XLA (measured faster than the
     # layer-streamed kernel, see ops/pallas_mlp.py)
@@ -374,10 +461,13 @@ def extract_mesh_sparse(
     # --- phase 1: coarse pass + margin selection
     if use_pallas:
         cmm_dev = _coarse_run(
-            decoder.cfg, mini, maxi, res, interpret, kw_items, params, lat
+            decoder.cfg, mini, maxi, res, interpret, kw_items, params, lat,
+            device_mesh=device_mesh,
         )
     else:
-        cmm_dev = _coarse_run_xla(decoder, mini, maxi, res, params, lat)
+        cmm_dev = _coarse_run_xla(
+            decoder, mini, maxi, res, params, lat, device_mesh=device_mesh
+        )
     cmm = np.asarray(cmm_dev)  # [n_blocks, 2]
     h = (np.asarray(maxi) - np.asarray(mini)) / (res - 1)
     r_cov = float(np.linalg.norm(np.asarray(COARSE) / 2.0 * h))
@@ -406,11 +496,12 @@ def extract_mesh_sparse(
     if use_pallas:
         data_dev, minmax_dev = _fine_run(
             decoder.cfg, mini, maxi, res, interpret, tdt, kw_items, params,
-            lat, jnp.asarray(ids),
+            lat, jnp.asarray(ids), device_mesh=device_mesh,
         )
     else:
         data_dev, minmax_dev = _fine_run_xla(
-            decoder, mini, maxi, res, tdt, params, lat, jnp.asarray(ids)
+            decoder, mini, maxi, res, tdt, params, lat, jnp.asarray(ids),
+            device_mesh=device_mesh,
         )
     fmm = np.asarray(minmax_dev)[: len(cand)]  # small transfer
 

@@ -244,3 +244,38 @@ def test_streamed_extraction_transfer_dtype_and_fallback():
     # resolutions with no brick decomposition fall back to the serial path
     m = extract_mesh_streamed(dec, params, lat, mini, maxi, 20)
     assert len(m.faces) > 0
+
+
+def test_streamed_extraction_device_mesh_equals_single():
+    """device_mesh= shards each slab's brick grid over the virtual 8-device
+    mesh; the streamed mesh must match the single-device streamed mesh
+    exactly (same kernel, same points, sharded axis only)."""
+    import jax
+    import numpy as np
+
+    from nphm_tpu.models import NPHMConfig, make_nphm_decoder
+    from nphm_tpu.parallel import get_device_mesh
+    from nphm_tpu.reconstruction.extract import extract_mesh_streamed
+
+    cfg = NPHMConfig(
+        lat_dim_glob=16, lat_dim_loc=8, n_loc=7, n_symm_pairs=3,
+        hidden_dim=40, n_layers=4, pos_mlp_dim=32,
+    )
+    rng = np.random.default_rng(0)
+    dec = make_nphm_decoder(
+        cfg, (rng.normal(size=(cfg.n_loc, 3)) * 0.3).astype(np.float32)
+    )
+    params = dec.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.lat_dim)) * 0.1
+    mini, maxi = (-0.55, -0.5, -0.95), (0.55, 0.75, 0.4)
+
+    single = extract_mesh_streamed(dec, params, lat, mini, maxi, 32, n_slabs=2)
+    sharded = extract_mesh_streamed(
+        dec, params, lat, mini, maxi, 32, n_slabs=2,
+        device_mesh=get_device_mesh(),
+    )
+    assert len(single.faces) == len(sharded.faces)
+    vs_a = np.unique(np.asarray(single.vertices, np.float32), axis=0)
+    vs_b = np.unique(np.asarray(sharded.vertices, np.float32), axis=0)
+    assert vs_a.shape == vs_b.shape
+    np.testing.assert_allclose(vs_a, vs_b, atol=1e-6)

@@ -208,3 +208,44 @@ def test_sparse_fallback_non_divisible(tiny_nphm):
     cfg, dec, params, lat = tiny_nphm
     mesh = extract_mesh_sparse(dec, params, lat, MINI, MAXI, 40)  # 40 % 16 != 0
     assert mesh.vertices.ndim == 2  # dense fallback produced a mesh
+
+
+def test_sparse_device_mesh_equals_single(tiny_nphm):
+    """device_mesh= shards the coarse lattice + candidate fine pass over the
+    virtual 8-device mesh; blocks are independent, so the mesh must equal
+    the single-device sparse extraction EXACTLY."""
+    from nphm_tpu.parallel import get_device_mesh
+    from nphm_tpu.reconstruction.sparse import extract_mesh_sparse as ems
+
+    cfg, dec, params, lat = tiny_nphm
+    single = ems(dec, params, lat, MINI, MAXI, RES, cull_eps=0.0)
+    stats = {}
+    sharded = ems(
+        dec, params, lat, MINI, MAXI, RES, cull_eps=0.0,
+        device_mesh=get_device_mesh(), stats=stats,
+    )
+    assert stats["n_transferred"] > 0
+    assert single.vertices.shape == sharded.vertices.shape
+    assert np.array_equal(_sorted(single.vertices), _sorted(sharded.vertices))
+
+
+def test_sparse_device_mesh_npm_xla_path():
+    """The XLA (NPM) sparse route shards too."""
+    from nphm_tpu.models import DeepSDFConfig, make_npm_decoder
+    from nphm_tpu.parallel import get_device_mesh
+
+    dec = make_npm_decoder(
+        DeepSDFConfig(lat_dim=16, hidden_dim=32, n_layers=3,
+                      geometric_init=True, radius_init=0.5)
+    )
+    params = dec.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (16,)) * 0.01
+    single = extract_mesh_sparse(dec, params, lat, MINI, MAXI, RES, lip=3.0)
+    sharded = extract_mesh_sparse(
+        dec, params, lat, MINI, MAXI, RES, lip=3.0,
+        device_mesh=get_device_mesh(),
+    )
+    assert single.vertices.shape == sharded.vertices.shape
+    np.testing.assert_allclose(
+        _sorted(single.vertices), _sorted(sharded.vertices), atol=1e-5
+    )
