@@ -586,6 +586,287 @@ def _member_fields_bwd(spec, res, cts):
 _member_fields.defvjp(_member_fields_fwd, _member_fields_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Loss-specialized FIT kernels: F only + first-order VJP
+# ---------------------------------------------------------------------------
+#
+# The joint/identity FIT loss (fitting/inference.py) needs only |sdf| and its
+# gradient w.r.t. the LATENT code and the QUERY POINTS — the shape decoder's
+# params are frozen, and no eikonal term means no spatial-gradient output and
+# no grad-of-grad.  Routing the fit through the full training kernel
+# (forward ~2x primal for G, backward ~6x primal for the double-backprop +
+# weight-gradient accumulators that the fit discards) does ~8x the minimal
+# work (VERDICT r2 item 6).  These kernels do the minimum:
+#
+# - fit forward: the primal sweep only -> F (~1x primal);
+# - fit backward: given the cotangent u of F, one reverse sweep yields
+#   d_coords (the point gradient, seeding the IFT/latent chain) and the
+#   per-(member, row) bias cotangents (which carry the latent gradient —
+#   conditioning is folded into biases by ``prepare_train_operands``, whose
+#   XLA-side VJP maps d_bias -> d_lat) (~2x primal).
+#
+# Weight gradients are returned as zeros: the frozen-params chain is dead
+# code XLA eliminates.
+
+
+def _make_fit_fwd_kernel(cfg: NPHMConfig, tile: int):
+    n_ops = len(_op_layout(cfg))
+
+    def kernel(*refs):
+        active_ref, coords_ref = refs[0], refs[1]
+        op_refs = refs[2 : 2 + n_ops]
+        f_ref = refs[-1]
+        a = pl.program_id(0)
+        t = pl.program_id(1)
+        live = active_ref[t % 8, a] != 0
+
+        @pl.when(live)
+        def _():
+            op = _op_dict(cfg, op_refs)
+            _hs, f = _fwd_math(cfg, op, coords_ref[0])
+            f_ref[0] = f
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            f_ref[:] = jnp.zeros((1, 1, tile), jnp.float32)
+
+    return kernel
+
+
+def _make_fit_bwd_kernel(cfg: NPHMConfig, tile: int, tpr: int):
+    shapes, skip_in = cfg.layer_shapes
+    L = len(shapes)
+    beta = cfg.beta
+    n_ops = len(_op_layout(cfg))
+
+    def kernel(*refs):
+        active_ref, coords_ref, u_ref = refs[:3]
+        op_refs = refs[3 : 3 + n_ops]
+        dcoords_ref, dbias0_ref, dbiasS_ref = refs[3 + n_ops :]
+        a = pl.program_id(0)
+        t = pl.program_id(1)
+        live = active_ref[t % 8, a] != 0
+
+        # per-row bias accumulators init at each row boundary (culled too)
+        @pl.when(t % tpr == 0)
+        def _():
+            dbias0_ref[:] = jnp.zeros_like(dbias0_ref)
+            dbiasS_ref[:] = jnp.zeros_like(dbiasS_ref)
+
+        @pl.when(live)
+        def _():
+            op = _op_dict(cfg, op_refs)
+            raw = coords_ref[0]  # [3, T]
+            uf = u_ref[0]  # [1, T] cotangent of F
+            hs, _f = _fwd_math(cfg, op, raw)
+            u = op[(L - 1, "wlast")] * uf  # [H, T] cotangent of h_{L-2}
+            dg = None
+            for i in range(L - 2, -1, -1):
+                sp = 1.0 - jnp.exp(-beta * hs[i])  # softplus'
+                d = u * sp
+                if i == skip_in:
+                    dbiasS_ref[0, 0] += _rowsum(d)
+                    gi = _pmmT(op[(i, "wpS")], d)
+                    dg = gi if dg is None else dg + gi
+                    u = _dot(op[(i, "whST")], d)
+                elif i == 0:
+                    dbias0_ref[0, 0] += _rowsum(d)
+                    gi = _pmmT(op[(i, "wp0")], d)
+                    dg = gi if dg is None else dg + gi
+                else:
+                    u = _dot(op[(i, "whT")], d)
+            dcoords_ref[0] = dg
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            dcoords_ref[:] = jnp.zeros((1, 3, tile), jnp.float32)
+
+    return kernel
+
+
+def _fit_fwd_impl(spec: _Spec, ops, coords):
+    cfg = spec.cfg
+    A = cfg.n_members
+    T = spec.tile
+    M = coords.shape[-1]
+    n_t = M // T
+    active = _active_mask(cfg, coords, T, spec.cull_eps)
+    in_specs = [
+        pl.BlockSpec((8, A), lambda a, t: (t // 8, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3, T), lambda a, t: (a, 0, t), memory_space=pltpu.VMEM),
+        *_member_block_specs(cfg, ops, spec.tpr),
+    ]
+    out_specs = pl.BlockSpec(
+        (1, 1, T), lambda a, t: (a, 0, t), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=_fields_flops(cfg, M, 1.0),
+        bytes_accessed=coords.size * 4 + A * M * 8,
+        transcendentals=A * M * cfg.hidden_dim,
+    )
+    f = pl.pallas_call(
+        _make_fit_fwd_kernel(cfg, T),
+        grid=(A, n_t),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((A, 1, M), jnp.float32),
+        cost_estimate=cost,
+        interpret=spec.interpret,
+    )(active, coords, *ops)
+    return f[:, 0]
+
+
+def _fit_bwd_impl(spec: _Spec, ops, coords, dF):
+    cfg = spec.cfg
+    A = cfg.n_members
+    T = spec.tile
+    M = coords.shape[-1]
+    n_t = M // T
+    active = _active_mask(cfg, coords, T, spec.cull_eps)
+    layout = _op_layout(cfg)
+    shapes, skip_in = cfg.layer_shapes
+    ops_by_key = {key: op for key, op in zip(layout, ops)}
+    bias0 = ops_by_key[(0, "bias0")]
+    biasS = ops_by_key[(skip_in, "biasS")]
+
+    in_specs = [
+        pl.BlockSpec((8, A), lambda a, t: (t // 8, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3, T), lambda a, t: (a, 0, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T), lambda a, t: (a, 0, t), memory_space=pltpu.VMEM),
+        *_member_block_specs(cfg, ops, spec.tpr),
+    ]
+    bias_spec = lambda op: pl.BlockSpec(  # noqa: E731
+        (1, 1) + op.shape[2:],
+        lambda a, t: (a, t // spec.tpr, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [
+        pl.BlockSpec((1, 3, T), lambda a, t: (a, 0, t), memory_space=pltpu.VMEM),
+        bias_spec(bias0),
+        bias_spec(biasS),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((A, 3, M), jnp.float32),
+        jax.ShapeDtypeStruct(bias0.shape, jnp.float32),
+        jax.ShapeDtypeStruct(biasS.shape, jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=_fields_flops(cfg, M, 2.0),
+        bytes_accessed=coords.size * 4 * 2 + A * M * 8,
+        transcendentals=A * M * cfg.hidden_dim,
+    )
+    dcoords, d_bias0, d_biasS = pl.pallas_call(
+        _make_fit_bwd_kernel(cfg, T, spec.tpr),
+        grid=(A, n_t),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=spec.interpret,
+    )(active, coords, dF.reshape(A, 1, M), *ops)
+    d_ops = tuple(
+        d_bias0
+        if key == (0, "bias0")
+        else d_biasS
+        if key == (skip_in, "biasS")
+        else jnp.zeros_like(op)
+        for key, op in zip(layout, ops)
+    )
+    return d_ops, dcoords
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _member_f(spec: _Spec, ops, coords):
+    """F [A, M] per-member raw SDF (fit-specialized: first-order VJP only;
+    weight cotangents are zeros — valid ONLY under frozen decoder params)."""
+    return _fit_fwd_impl(spec, ops, coords)
+
+
+def _member_f_fwd(spec, ops, coords):
+    return _fit_fwd_impl(spec, ops, coords), (ops, coords)
+
+
+def _member_f_bwd(spec, res, dF):
+    ops, coords = res
+    return _fit_bwd_impl(spec, ops, coords, dF)
+
+
+_member_f.defvjp(_member_f_fwd, _member_f_bwd)
+
+
+def apply_nphm_fit_pallas(
+    params,
+    cfg: NPHMConfig,
+    xyz,
+    lat,
+    *,
+    tile: int = DEFAULT_TILE,
+    cull_eps: float = CULL_EPS_TRAIN,
+    sort: bool | None = None,
+    interpret: bool | None = None,
+):
+    """Fit-specialized NPHM field: sdf only, first-order VJP w.r.t. lat/xyz.
+
+    Same training-mode semantics as ``apply_nphm_train_pallas`` (the
+    reference fits with ``decoder_shape.train()``, fitting.py:57) but
+    without the spatial-gradient output or the double-backprop machinery the
+    fit loss never uses.  NOT valid when gradients w.r.t. ``params`` are
+    needed (weight cotangents are zeroed) — the fit optimizes latents only.
+
+    Returns (sdf [B, N, 1], anchors [B, n_loc, 3]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if sort is None:
+        sort = cull_eps > 0
+    B, N, _ = xyz.shape
+    A = cfg.n_members
+
+    anchors = predict_anchors(params, cfg, lat)
+
+    if sort:
+        perm = jax.lax.stop_gradient(jnp.argsort(_morton_codes(xyz), axis=1))
+        xyz_s = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+    else:
+        perm = None
+        xyz_s = xyz
+
+    Np = -(-N // tile) * tile
+    if Np != N:
+        xyz_s = jnp.concatenate(
+            [xyz_s, jnp.broadcast_to(xyz_s[:, -1:], (B, Np - N, 3))], axis=1
+        )
+
+    centers = jnp.concatenate(
+        [anchors, jnp.zeros_like(anchors[:, :1, :])], axis=1
+    )
+    sign = jnp.concatenate(
+        [
+            jnp.asarray(cfg.mirror_sign)[:, None],
+            jnp.ones((A, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    coords = (xyz_s[:, :, None, :] - centers[:, None, :, :]) * sign
+    coords_t = jnp.transpose(coords, (2, 3, 0, 1)).reshape(A, 3, B * Np)
+
+    ops, last_b = prepare_train_operands(params, cfg, lat)
+    spec = _Spec(
+        cfg=cfg,
+        tile=tile,
+        tpr=Np // tile,
+        cull_eps=float(cull_eps),
+        interpret=interpret,
+    )
+    F = _member_f(spec, ops, coords_t)
+    Fm = jnp.transpose(F.reshape(A, B, Np), (1, 2, 0)) + last_b[:, 0]
+    wn = _blend_weights(cfg, xyz_s, anchors)
+    sdf = jnp.sum(wn * Fm, axis=-1)[:, :N]
+    if perm is not None:
+        sdf = jnp.take_along_axis(sdf, jnp.argsort(perm, axis=1), axis=1)
+    return sdf[..., None], anchors
+
+
 def _morton_codes(xyz):
     """Per-row 30-bit Morton codes for spatial sorting. xyz: [B, N, 3]."""
     lo = jnp.min(xyz, axis=1, keepdims=True)

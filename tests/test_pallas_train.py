@@ -231,3 +231,63 @@ def test_row_padding_and_single_row(setup):
     np.testing.assert_allclose(
         np.asarray(grads), np.asarray(ref_grads), atol=5e-6
     )
+
+
+# --- loss-specialized FIT kernel (sdf only, first-order VJP) ----------------
+
+
+def test_fit_kernel_forward_matches_xla(setup):
+    from nphm_tpu.ops.pallas_train import apply_nphm_fit_pallas
+
+    cfg, decoder, params, xyz, lat = setup
+    ref_sdf, _ = decoder.apply(params, xyz, lat, training=True)
+    sdf, anchors = apply_nphm_fit_pallas(
+        params, cfg, xyz, lat, tile=128, cull_eps=0.0, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(sdf), np.asarray(ref_sdf), atol=1e-6)
+    _, ref_anchors = decoder.apply(params, xyz[:, :1], lat, training=True)
+    np.testing.assert_allclose(
+        np.asarray(anchors), np.asarray(ref_anchors), atol=1e-6
+    )
+
+
+def test_fit_kernel_lat_and_point_gradients_match(setup):
+    """The fit-loss contract: d(masked |sdf|)/d(lat, xyz) through the
+    first-order VJP kernel must match XLA autodiff of the decoder.  (Weight
+    cotangents are intentionally zeroed — the fit's params are frozen.)"""
+    from nphm_tpu.ops.pallas_train import apply_nphm_fit_pallas
+
+    cfg, decoder, params, xyz, lat = setup
+    mask = (jax.random.uniform(jax.random.PRNGKey(9), xyz.shape[:2]) > 0.3)
+
+    def loss_kernel(lat_, xyz_):
+        sdf, _ = apply_nphm_fit_pallas(
+            params, cfg, xyz_, lat_, tile=128, cull_eps=0.0, interpret=True
+        )
+        return jnp.sum(jnp.abs(sdf[..., 0]) * mask)
+
+    def loss_xla(lat_, xyz_):
+        sdf, _ = decoder.apply(params, xyz_, lat_, training=True)
+        return jnp.sum(jnp.abs(sdf[..., 0]) * mask)
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1))(lat, xyz)
+    g_x = jax.grad(loss_xla, argnums=(0, 1))(lat, xyz)
+    _tree_close(g_k, g_x, 5e-5)
+
+
+def test_fit_kernel_culled_and_sorted_close(setup):
+    """The fit path's production options (cull_eps=1e-10, Morton sort) stay
+    within tight error of the exact kernel."""
+    from nphm_tpu.ops.pallas_train import apply_nphm_fit_pallas
+
+    cfg, decoder, params, xyz, lat = setup
+    exact, _ = apply_nphm_fit_pallas(
+        params, cfg, xyz, lat, tile=128, cull_eps=0.0, interpret=True
+    )
+    culled, _ = apply_nphm_fit_pallas(
+        params, cfg, xyz, lat, tile=128, cull_eps=1e-10, sort=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(culled), np.asarray(exact), atol=2e-4
+    )
