@@ -104,6 +104,8 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
         dummy_path=env_paths.DUMMY_DATA if args.demo else None
     )
     subjects = [351, 365] if args.demo else env_paths.subjects_test
+    if args.subjects:
+        subjects = list(args.subjects)
 
     from nphm_tpu.reconstruction.extract import _pallas_available, extract_mesh
 
@@ -136,6 +138,11 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
         per_subj = []
         for subj in group:
             inds = manager.get_expressions(subj, testing=True)
+            if not inds:
+                # every expression curated away (invalid_expressions_test)
+                # — skip like gather.py skips missing subjects
+                print(f"Skipping subject {subj}: no valid test expressions")
+                continue
             print(f"Fitting subject {subj} (expressions: {inds})")
             all_obs = [
                 manager.get_single_view_obs(subj, expr_ind, include_back=(k == 0))
@@ -143,6 +150,8 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
             ]
             per_subj.append((subj, inds, all_obs))
 
+        if not per_subj:
+            continue
         if len(per_subj) > 1:
             # vmapped multi-subject fit: same per-subject recipe, one
             # compiled program, matmul batch x group_size
@@ -219,6 +228,10 @@ def main():
     parser.add_argument(
         "-batch_subjects", type=int, default=1,
         help="fit this many subjects per vmapped batch (TPU throughput)",
+    )
+    parser.add_argument(
+        "-subjects", type=int, nargs="*", default=None,
+        help="restrict fitting to these subject ids (default: the test split)",
     )
     parser.add_argument(
         "-sparse", action="store_true",
