@@ -13,9 +13,11 @@ fit < 30 s on one v5e chip"): a reference rate of 16.7M queries / 30 s
 
 Extra fields (same line): res-256 extraction wall time including marching
 cubes, streamed/sparse extraction legs, the fused training-kernel step, an
-NPM sampling leg, the virtual-mesh multichip equivalence check, and fitting
-iterations/sec.  All legs run by default; skip individually with
-BENCH_NO_{TRAIN,SPARSE,R400,NPM,MULTI,FIT,PALLAS}=1.
+NPM sampling leg, the virtual-mesh multichip equivalence check, fitting
+iterations/sec, and the full 23-identity evaluation-protocol rehearsal
+(scripts/validation/protocol_e2e.py — the heaviest leg, ~25-40 min).  All
+legs run by default; skip individually with
+BENCH_NO_{TRAIN,SPARSE,R400,NPM,MULTI,FIT,PALLAS,PROTO}=1.
 
 NOTE: timings force a device->host transfer per measurement because
 block_until_ready does not reliably synchronize through the axon relay.
@@ -466,18 +468,61 @@ def main():
     if os.environ.get("BENCH_NO_FIT") != "1":
         _guard(extra, "fit", leg_fit, optional=True)
 
-    qps = n_queries / st["t_eval"] if "t_eval" in st else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "nphm_sdf_queries_per_sec_per_chip",
-                "value": round(qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(qps / BASELINE_QPS, 3),
-                **extra,
-            }
+    def emit():
+        qps = n_queries / st["t_eval"] if "t_eval" in st else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": "nphm_sdf_queries_per_sec_per_chip",
+                    "value": round(qps, 1),
+                    "unit": "queries/s",
+                    "vs_baseline": round(qps / BASELINE_QPS, 3),
+                    **extra,
+                }
+            ),
+            flush=True,
         )
-    )
+
+    # the protocol leg below is the heaviest (~25-40 min); emit the line NOW
+    # so a harness timeout mid-protocol still leaves a complete artifact —
+    # the driver consumes the LAST printed line
+    emit()
+
+    def leg_protocol():
+        # VERDICT r2 item 1: the reference's ACTUAL deliverable — the full
+        # 23-identity fit -> extract -> deform -> eval -> gather protocol,
+        # end to end through the public CLIs at production model dims
+        # (scripts/validation/protocol_e2e.py), as a subprocess.  Records
+        # phase wall-clocks + the aggregate metrics from total_merics.csv.
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "scripts/validation/protocol_e2e.py",
+             "--fit_steps", os.environ.get("BENCH_PROTO_FIT_STEPS", "1000"),
+             "--num_samps", os.environ.get("BENCH_PROTO_NUM_SAMPS", "25000"),
+             "--batch_subjects", "8", "--resolution", "256"],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("BENCH_PROTO_TIMEOUT", 5400)),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = [
+            ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode == 0 and lines:
+            extra["protocol"] = json.loads(lines[-1])
+        else:
+            extra["protocol"] = {
+                "ok": False, "rc": proc.returncode,
+                "err": (proc.stderr or proc.stdout).strip()[-300:],
+            }
+
+    if use_pallas and os.environ.get("BENCH_NO_PROTO") != "1":
+        # not deadline-gated: the protocol IS the deliverable (VERDICT r2
+        # item 1) and the artifact line above is already safe if the
+        # harness cuts this run short
+        _guard(extra, "protocol", leg_protocol)
+        emit()  # re-emit with the protocol results merged
 
 
 if __name__ == "__main__":

@@ -93,6 +93,64 @@ def _cached_samples(out_dir, mesh, m_flame, face_idx, num_samps, rng, resample):
     return out
 
 
+def _eval_scan(manager, face_idx, args, eval_dir, subject, expression):
+    """Render-sample + metrics for ONE (subject, expression) scan.
+
+    Each scan draws from its OWN seeded rng (fold of --seed, subject,
+    expression), so results are deterministic and independent of worker
+    count / scan order — unlike a shared sequential stream."""
+    fine = os.path.join(args.result_dir, f"{subject}_{expression}_fine.ply")
+    pred_path = (
+        fine
+        if os.path.exists(fine)
+        else os.path.join(args.result_dir, f"{subject}_{expression}.ply")
+    )
+    if not os.path.exists(pred_path):
+        print(f"missing prediction {pred_path}; skipping")
+        return
+    out_dir_gt = os.path.join(
+        env_paths.FITTING_DIR, "GT", str(subject), f"expression_{expression}"
+    )
+    out_dir = os.path.join(eval_dir, str(subject), f"expression_{expression}")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(os.path.join(out_dir, "metrics.json")):
+        print("SKIPPING", subject, expression)
+        return
+    print("PROCESSING", subject, expression)
+    rng = np.random.default_rng([args.seed, subject, expression])
+
+    m_gt = manager.get_raw_mesh(subject, expression, "nphm")
+    m_flame = manager.get_flame_mesh(subject, expression, "nphm")
+    m_pred = load_mesh(pred_path)
+
+    gt = _cached_samples(
+        out_dir_gt, m_gt, m_flame, face_idx, args.num_samps, rng,
+        args.resample,
+    )
+    pred = _cached_samples(
+        out_dir, m_pred, m_flame, face_idx, args.num_samps, rng,
+        args.resample,
+    )
+
+    metrics = eval_pointcloud(
+        pred[0], gt[0], pred[1], gt[1],
+        metric_space=True, subject=subject, expression=expression,
+    )
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        f.write(json.dumps(metrics, indent=4))
+
+    metrics_face = eval_pointcloud(
+        pred[2], gt[2], pred[3], gt[3],
+        metric_space=True, subject=subject, expression=expression,
+    )
+    with open(os.path.join(out_dir, "metrics_face.json"), "w") as f:
+        f.write(json.dumps(metrics_face, indent=4))
+    print(
+        f"  {subject}/{expression}: chamfer_l1={metrics['chamfer_l1']:.3f}mm "
+        f"(face {metrics_face['chamfer_l1']:.3f}mm)"
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--result_dir", required=True, type=str)
@@ -100,74 +158,40 @@ def main():
     parser.add_argument("--resample", action="store_true")
     parser.add_argument("--subjects", type=int, nargs="*", default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--workers", type=int, default=min(8, os.cpu_count() or 1),
+        help="scans evaluated concurrently (host threads; the rasterizer, "
+        "KDTree queries, and numpy reductions release the GIL).  1 = serial",
+    )
     args = parser.parse_args()
 
     manager = DataManager()
     face_idx = face_region_indices()
-    rng = np.random.default_rng(args.seed)
 
     eval_dir = os.path.join(args.result_dir, "evaluation")
     os.makedirs(eval_dir, exist_ok=True)
 
     subjects = args.subjects or env_paths.subjects_test
-    for subject in subjects:
-        expressions = manager.get_expressions(subject, testing=True)
-        for expression in sorted(expressions):
-            fine = os.path.join(
-                args.result_dir, f"{subject}_{expression}_fine.ply"
-            )
-            pred_path = (
-                fine
-                if os.path.exists(fine)
-                else os.path.join(args.result_dir, f"{subject}_{expression}.ply")
-            )
-            if not os.path.exists(pred_path):
-                print(f"missing prediction {pred_path}; skipping")
-                continue
+    scans = [
+        (subject, expression)
+        for subject in subjects
+        for expression in sorted(manager.get_expressions(subject, testing=True))
+    ]
+    if args.workers <= 1:
+        for subject, expression in scans:
+            _eval_scan(manager, face_idx, args, eval_dir, subject, expression)
+    else:
+        import concurrent.futures as cf
 
-            out_dir_gt = os.path.join(
-                env_paths.FITTING_DIR, "GT", str(subject),
-                f"expression_{expression}",
-            )
-            out_dir = os.path.join(
-                eval_dir, str(subject), f"expression_{expression}"
-            )
-            os.makedirs(out_dir, exist_ok=True)
-            if os.path.exists(os.path.join(out_dir, "metrics.json")):
-                print("SKIPPING", subject, expression)
-                continue
-            print("PROCESSING", subject, expression)
-
-            m_gt = manager.get_raw_mesh(subject, expression, "nphm")
-            m_flame = manager.get_flame_mesh(subject, expression, "nphm")
-            m_pred = load_mesh(pred_path)
-
-            gt = _cached_samples(
-                out_dir_gt, m_gt, m_flame, face_idx, args.num_samps, rng,
-                args.resample,
-            )
-            pred = _cached_samples(
-                out_dir, m_pred, m_flame, face_idx, args.num_samps, rng,
-                args.resample,
-            )
-
-            metrics = eval_pointcloud(
-                pred[0], gt[0], pred[1], gt[1],
-                metric_space=True, subject=subject, expression=expression,
-            )
-            with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-                f.write(json.dumps(metrics, indent=4))
-
-            metrics_face = eval_pointcloud(
-                pred[2], gt[2], pred[3], gt[3],
-                metric_space=True, subject=subject, expression=expression,
-            )
-            with open(os.path.join(out_dir, "metrics_face.json"), "w") as f:
-                f.write(json.dumps(metrics_face, indent=4))
-            print(
-                f"  chamfer_l1={metrics['chamfer_l1']:.3f}mm "
-                f"(face {metrics_face['chamfer_l1']:.3f}mm)"
-            )
+        with cf.ThreadPoolExecutor(max_workers=args.workers) as ex:
+            futs = [
+                ex.submit(
+                    _eval_scan, manager, face_idx, args, eval_dir, s, e
+                )
+                for s, e in scans
+            ]
+            for f in futs:
+                f.result()  # propagate failures
 
 
 if __name__ == "__main__":

@@ -76,6 +76,7 @@ def main():
     trainer = IdentityTrainer(
         decoder, params, cfg, train_dataset, val_dataset, args.exp_name,
         logger=logger, seed=args.seed, mesh=mesh,
+        recon_resolution=cfg["training"].get("recon_resolution", 256),
     )
     trainer.train_model(cfg["training"].get("nepochs", 30001))
 

@@ -125,9 +125,10 @@ def main():
     bs = min(args.n_train_subjects, 32)
     epochs, def_epochs = args.train_epochs, args.def_epochs
     if args.tiny:
+        # nloc stays 39: the dummy assets ship 39 mean anchors
         id_cfg["decoder"].update(
             decoder_lat_dim_glob=8, decoder_lat_dim_loc=4,
-            decoder_hidden_dim=16, decoder_nloc=7, decoder_nsymm_pairs=3,
+            decoder_hidden_dim=16,
         )
         def_cfg["ex_decoder"].update(
             decoder_hidden_dim=32, decoder_lat_dim_expr=8,
@@ -135,14 +136,15 @@ def main():
         )
         def_cfg["id_decoder"] = dict(id_cfg["decoder"], pos_mlp_dim=16)
         epochs, def_epochs = 3, 3
+    recon_res = 64 if args.tiny else 128  # log_recs cost, not the protocol's
     id_cfg["training"].update(
         batch_size=bs, nepochs=epochs, ckpt_interval=max(epochs - 1, 1),
-        lr=0.002, lr_lat=0.005,
+        lr=0.002, lr_lat=0.005, recon_resolution=recon_res,
     )
     def_cfg["training"].update(
         batch_size=bs, nepochs=def_epochs,
         ckpt_interval=max(def_epochs - 1, 1),
-        lr=0.001, lr_lat=0.005,
+        lr=0.001, lr_lat=0.005, recon_resolution=recon_res,
         shape_exp_name="proto_id", shape_ckpt=max(epochs - 1, 1),
     )
     cfg_dir = os.path.join(root, "cfg")
