@@ -70,7 +70,10 @@ def main():
     ap.add_argument("--root", type=str, default=None,
                     help="keep the tree here (default: temp dir)")
     ap.add_argument("--n_train_subjects", type=int, default=16)
-    ap.add_argument("--n_expressions", type=int, default=6)
+    # 4 expressions/subject keeps the (single-core-host) eval phase ~20 min
+    # while exceeding the >=3-posed-expressions protocol bar; the real
+    # dataset's 7-24 expressions only scale the same loops
+    ap.add_argument("--n_expressions", type=int, default=4)
     ap.add_argument("--train_epochs", type=int, default=151)
     ap.add_argument("--def_epochs", type=int, default=151)
     ap.add_argument("--fit_steps", type=int, default=1000)
