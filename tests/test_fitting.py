@@ -402,3 +402,31 @@ def test_fit_joint_batch_resilient_passthrough_when_healthy():
     )
     assert le == [1, 2, 3] and hist["crashes"] == 0
     assert hist["group_sizes"] == [3]
+
+
+def test_kernel_compile_error_classification():
+    """Fallback classifier (ops/fallback.py): Mosaic/Pallas/static-VMEM
+    compile signatures trigger; generic runtime errors (even ones
+    mentioning 'compile' or 'vmem') must NOT (ADVICE r2)."""
+    from nphm_tpu.ops.fallback import kernel_compile_error
+
+    hits = [
+        RuntimeError("Mosaic failed to compile TPU kernel: only constant "
+                     "accumulators supported"),
+        ValueError("INTERNAL: mosaic lowering failed"),
+        RuntimeError("error in pallas_call lowering"),
+        RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                     "space vmem while allocating"),
+    ]
+    misses = [
+        RuntimeError("TPU worker process crashed or restarted"),
+        RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                     "space hbm"),
+        RuntimeError("server error while compiled program was running"),
+        ValueError("vmem_limit flag unknown"),  # mentions vmem, not the phrase
+        RuntimeError("NaN guard tripped"),
+    ]
+    for e in hits:
+        assert kernel_compile_error(e), e
+    for e in misses:
+        assert not kernel_compile_error(e), e
