@@ -148,17 +148,35 @@ def read_ply(path: str) -> Mesh:
                     _, ct, it, _pname = props[0]
                     ct_np, ct_sz = _PLY_DTYPES[ct]
                     it_np, it_sz = _PLY_DTYPES[it]
-                    rows = []
                     buf = f.read()
-                    off = 0
-                    for _ in range(count):
-                        n = int(np.frombuffer(buf, ct_np, 1, off)[0])
-                        off += ct_sz
-                        rows.append(np.frombuffer(buf, it_np, n, off).astype(np.int64))
-                        off += it_sz * n
+                    # Fast path: uniform list length (triangles/quads), parsed
+                    # as one structured array.  A Python per-face loop here
+                    # cost ~31 s on an 857k-vertex res-256 reconstruction.
+                    uniform = None
+                    if count:
+                        n0 = int(np.frombuffer(buf, ct_np, 1, 0)[0])
+                        rec_sz = ct_sz + n0 * it_sz
+                        if n0 >= 1 and len(buf) >= count * rec_sz:
+                            dt = np.dtype([("n", ct_np), ("idx", it_np, (n0,))])
+                            arr = np.frombuffer(buf, dt, count)
+                            if (arr["n"] == n0).all():
+                                uniform = arr["idx"].reshape(count, n0)
+                                off = count * rec_sz
+                    if uniform is not None:
+                        data[name] = {"uniform": uniform.astype(np.int64)}
+                    else:
+                        rows = []
+                        off = 0
+                        for _ in range(count):
+                            n = int(np.frombuffer(buf, ct_np, 1, off)[0])
+                            off += ct_sz
+                            rows.append(
+                                np.frombuffer(buf, it_np, n, off).astype(np.int64)
+                            )
+                            off += it_sz * n
+                        data[name] = {"list": rows}
                     # return leftover bytes for any further element (rare)
                     f2 = buf[off:]
-                    data[name] = {"list": rows}
                     if f2:
                         import io
 
@@ -187,7 +205,19 @@ def read_ply(path: str) -> Mesh:
         ).astype(np.float32)
 
     faces = np.zeros((0, 3), np.int64)
-    if "face" in data and data["face"]["list"]:
+    if "face" in data and data["face"].get("uniform") is not None:
+        idx = data["face"]["uniform"]
+        if idx.shape[1] == 3:
+            faces = idx
+        else:  # vectorized fan triangulation of uniform polygons
+            faces = np.concatenate(
+                [
+                    np.stack([idx[:, 0], idx[:, k], idx[:, k + 1]], axis=-1)
+                    for k in range(1, idx.shape[1] - 1)
+                ],
+                axis=0,
+            )
+    elif "face" in data and data["face"].get("list"):
         rows = data["face"]["list"]
         tri = []
         for r in rows:
