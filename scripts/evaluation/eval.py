@@ -44,29 +44,62 @@ def slice_properly(regi, surf_points, extra=None, margin=0.003):
     return surf_points[above], extra
 
 
+def _face_valid(points, face_verts, face_normals, kdtree):
+    """Reference face membership rule (eval.py:71-86): point-to-plane
+    distance <= 0.02 at the nearest FLAME face vertex AND point distance
+    <= 0.04 to it."""
+    dist, nn_idx = kdtree.query(points)
+    nn_vertices = face_verts[nn_idx, :]
+    nn_normals = face_normals[nn_idx, :]
+    p2plane = np.abs(np.sum((points - nn_vertices) * nn_normals, axis=-1))
+    return (p2plane <= 0.02) & (dist <= 0.04)
+
+
 def sample_surface_points(mesh, mesh_flame, face_idx, num_samps, rng):
     samps, samps_normals = gen_render_samples(mesh, 10)
     samps, samps_normals = slice_properly(mesh_flame, samps, samps_normals)
 
-    threshold_p2plane = 0.02
-    threshold_p2point = 0.04
     face_verts = np.asarray(mesh_flame.vertices[face_idx, :])
+    face_normals = mesh_flame.vertex_normals[face_idx, :]
     kdtree = KDTree(face_verts)
-    dist, nn_idx = kdtree.query(samps)
-    nn_vertices = face_verts[nn_idx, :]
-    nn_normals = mesh_flame.vertex_normals[face_idx, :][nn_idx, :]
-    p2plane = np.abs(np.sum((samps - nn_vertices) * nn_normals, axis=-1))
-    valids = (p2plane <= threshold_p2plane) & (dist <= threshold_p2point)
-
-    samps_face = samps[valids, :]
-    samps_normals_face = samps_normals[valids, :]
 
     ri = rng.integers(0, samps.shape[0], num_samps)
-    rif = rng.integers(0, max(samps_face.shape[0], 1), num_samps)
-    return (
-        samps[ri, :], samps_normals[ri, :],
-        samps_face[rif, :], samps_normals_face[rif, :],
-    )
+
+    # Face subset by rejection sampling: a draw uniform over all samples,
+    # accepted iff face-valid, is iid uniform over the face-valid population
+    # — distribution-identical to the reference's label-everything-then-draw
+    # (eval.py:71-91) but labels only ~num_samps/acceptance of the ~6M
+    # rendered samples (measured: ~1.5 s vs ~9 s per mesh at 250k draws).
+    sel_pts, sel_nrm = [], []
+    got, labeled, cap = 0, 0, 3 * len(samps) + 10 * num_samps
+    while got < num_samps and labeled < cap:
+        batch = rng.integers(0, samps.shape[0], 2 * num_samps)
+        labeled += len(batch)
+        pts, nrm = samps[batch], samps_normals[batch]
+        ok = _face_valid(pts, face_verts, face_normals, kdtree)
+        sel_pts.append(pts[ok])
+        sel_nrm.append(nrm[ok])
+        got += int(ok.sum())
+    if got == 0:
+        # Degenerate mesh with (almost) no face-valid samples: fall back to
+        # the reference's exhaustive labeling so behavior matches exactly.
+        valids = _face_valid(samps, face_verts, face_normals, kdtree)
+        samps_face = samps[valids, :]
+        samps_normals_face = samps_normals[valids, :]
+        rif = rng.integers(0, max(samps_face.shape[0], 1), num_samps)
+        return (
+            samps[ri, :], samps_normals[ri, :],
+            samps_face[rif, :], samps_normals_face[rif, :],
+        )
+    samps_face = np.concatenate(sel_pts)[:num_samps]
+    samps_normals_face = np.concatenate(sel_nrm)[:num_samps]
+    if len(samps_face) < num_samps:  # acceptance ~0: top up with replacement
+        extra = rng.integers(0, len(samps_face), num_samps - len(samps_face))
+        samps_face = np.concatenate([samps_face, samps_face[extra]])
+        samps_normals_face = np.concatenate(
+            [samps_normals_face, samps_normals_face[extra]]
+        )
+    return samps[ri, :], samps_normals[ri, :], samps_face, samps_normals_face
 
 
 def face_region_indices():
