@@ -57,29 +57,45 @@ static inline void world_to_cam(const Cam& c, const float* pw, float* pc) {
     pc[i] = c.R[3 * i] * d[0] + c.R[3 * i + 1] * d[1] + c.R[3 * i + 2] * d[2];
 }
 
+// Per-vertex projection prepass: each vertex is transformed once instead of
+// once per incident face (~6x for typical meshes) — the per-face transform
+// was the dominant cost for marching-cubes output whose triangles cover
+// ~1 pixel each.
+static void project_range(const Cam& cam, const float* verts, int64_t v0,
+                          int64_t v1, float* u, float* v, float* invz,
+                          uint8_t* valid) {
+  for (int64_t i = v0; i < v1; ++i) {
+    float pc[3];
+    world_to_cam(cam, verts + 3 * i, pc);
+    float z = -pc[2];
+    // clip vertices at the near/far planes (triangles touching them are
+    // dropped whole, as before — fine for closed heads)
+    if (z < cam.znear || z > cam.zfar) {
+      valid[i] = 0;
+      u[i] = v[i] = invz[i] = 0.f;
+      continue;
+    }
+    float iz = 1.0f / z;
+    valid[i] = 1;
+    invz[i] = iz;
+    u[i] = cam.fx * pc[0] * iz + cam.cx;
+    v[i] = cam.cy - cam.fy * pc[1] * iz;
+  }
+}
+
 static void raster_range(const float* verts, const int32_t* faces,
-                         int64_t f0, int64_t f1, const Cam& cam,
+                         const float* face_normals, const float* pu,
+                         const float* pv, const float* pinvz,
+                         const uint8_t* pvalid, int64_t f0, int64_t f1,
                          int h, int w, FrameBuf& fb) {
   for (int64_t f = f0; f < f1; ++f) {
     const int32_t* tri = faces + 3 * f;
-    float pc[3][3];
-    const float* pw[3];
-    bool ok = true;
-    for (int k = 0; k < 3; ++k) {
-      pw[k] = verts + 3 * tri[k];
-      world_to_cam(cam, pw[k], pc[k]);
-      // clip triangles touching the near plane (simple, fine for closed heads)
-      if (-pc[k][2] < cam.znear || -pc[k][2] > cam.zfar) ok = false;
-    }
-    if (!ok) continue;
-
-    float u[3], v[3], invz[3];
-    for (int k = 0; k < 3; ++k) {
-      float iz = 1.0f / (-pc[k][2]);
-      invz[k] = iz;
-      u[k] = cam.fx * pc[k][0] * iz + cam.cx;
-      v[k] = cam.cy - cam.fy * pc[k][1] * iz;
-    }
+    const int32_t i0 = tri[0], i1 = tri[1], i2 = tri[2];
+    if (!(pvalid[i0] & pvalid[i1] & pvalid[i2])) continue;
+    const float* pw[3] = {verts + 3 * i0, verts + 3 * i1, verts + 3 * i2};
+    const float u[3] = {pu[i0], pu[i1], pu[i2]};
+    const float v[3] = {pv[i0], pv[i1], pv[i2]};
+    const float invz[3] = {pinvz[i0], pinvz[i1], pinvz[i2]};
 
     int min_x = (int)std::floor(std::min({u[0], u[1], u[2]}));
     int max_x = (int)std::ceil(std::max({u[0], u[1], u[2]}));
@@ -98,13 +114,10 @@ static void raster_range(const float* verts, const int32_t* faces,
     float inv_det = 1.0f / det;
 
     // world-space face normal (flat shading, as the reference's
-    // smooth=False rendering produces)
-    Vec3 e1 = {pw[1][0] - pw[0][0], pw[1][1] - pw[0][1], pw[1][2] - pw[0][2]};
-    Vec3 e2 = {pw[2][0] - pw[0][0], pw[2][1] - pw[0][1], pw[2][2] - pw[0][2]};
-    Vec3 n = cross3(e1, e2);
-    float nl = std::sqrt(n.x * n.x + n.y * n.y + n.z * n.z);
-    if (nl < 1e-20f) continue;
-    n.x /= nl; n.y /= nl; n.z /= nl;
+    // smooth=False rendering produces); degenerate faces carry a ~0 vector
+    Vec3 n = {face_normals[3 * f], face_normals[3 * f + 1],
+              face_normals[3 * f + 2]};
+    if (n.x * n.x + n.y * n.y + n.z * n.z < 0.25f) continue;
 
     for (int py = min_y; py <= max_y; ++py) {
       for (int px = min_x; px <= max_x; ++px) {
@@ -134,20 +147,7 @@ static void raster_range(const float* verts, const int32_t* faces,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Rt: 4x4 camera-to-world pose, row-major (OpenGL convention: camera looks
-// along -z). K: 3x3 row-major intrinsics. Outputs are h*w(-sized) buffers
-// allocated by the caller: depth (view depth, inf where empty), points
-// (world xyz), normals (world face normals), mask (1 where hit).
-int nphm_rasterize(const float* verts, int64_t n_verts, const int32_t* faces,
-                   int64_t n_faces, const float* K, const float* Rt, int h,
-                   int w, float znear, float zfar, float* out_depth,
-                   float* out_points, float* out_normals,
-                   uint8_t* out_mask) {
-  (void)n_verts;
+static Cam make_cam(const float* K, const float* Rt, float znear, float zfar) {
   Cam cam;
   cam.fx = K[0]; cam.fy = K[4]; cam.cx = K[2]; cam.cy = K[5];
   cam.znear = znear; cam.zfar = zfar;
@@ -157,12 +157,58 @@ int nphm_rasterize(const float* verts, int64_t n_verts, const int32_t* faces,
     for (int c = 0; c < 3; ++c)
       cam.R[3 * r + c] = Rt[4 * c + r];
   cam.t[0] = Rt[3]; cam.t[1] = Rt[7]; cam.t[2] = Rt[11];
+  return cam;
+}
 
+// Shared projection + rasterization stages; per-thread tiles land in `bufs`
+// (empty entries mean the thread had no faces).
+static void raster_pipeline(const float* verts, int64_t n_verts,
+                            const int32_t* faces, int64_t n_faces,
+                            const float* face_normals, const Cam& cam, int h,
+                            int w, std::vector<FrameBuf>& bufs,
+                            std::vector<float>& fn_storage) {
   unsigned hw_threads = std::thread::hardware_concurrency();
   int n_threads = hw_threads ? (int)hw_threads : 4;
   if ((int64_t)n_threads > n_faces) n_threads = (int)std::max<int64_t>(1, n_faces);
 
-  std::vector<FrameBuf> bufs(n_threads);
+  // per-vertex projection prepass (threaded)
+  std::vector<float> pu(n_verts), pv(n_verts), pinvz(n_verts);
+  std::vector<uint8_t> pvalid(n_verts);
+  {
+    std::vector<std::thread> vthreads;
+    int64_t per_v = (n_verts + n_threads - 1) / n_threads;
+    for (int i = 0; i < n_threads; ++i) {
+      int64_t v0 = i * per_v;
+      int64_t v1 = std::min<int64_t>(v0 + per_v, n_verts);
+      if (v0 >= v1) continue;
+      vthreads.emplace_back([&, v0, v1]() {
+        project_range(cam, verts, v0, v1, pu.data(), pv.data(), pinvz.data(),
+                      pvalid.data());
+      });
+    }
+    for (auto& t : vthreads) t.join();
+  }
+
+  if (face_normals == nullptr) {
+    fn_storage.resize(3 * n_faces);
+    for (int64_t f = 0; f < n_faces; ++f) {
+      const int32_t* tri = faces + 3 * f;
+      const float* a = verts + 3 * tri[0];
+      const float* b = verts + 3 * tri[1];
+      const float* c = verts + 3 * tri[2];
+      Vec3 e1 = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+      Vec3 e2 = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+      Vec3 n = cross3(e1, e2);
+      float nl = std::sqrt(n.x * n.x + n.y * n.y + n.z * n.z);
+      float inl = nl < 1e-20f ? 0.f : 1.0f / nl;
+      fn_storage[3 * f] = n.x * inl;
+      fn_storage[3 * f + 1] = n.y * inl;
+      fn_storage[3 * f + 2] = n.z * inl;
+    }
+    face_normals = fn_storage.data();
+  }
+
+  bufs.resize(n_threads);
   std::vector<std::thread> threads;
   int64_t per = (n_faces + n_threads - 1) / n_threads;
   for (int i = 0; i < n_threads; ++i) {
@@ -171,21 +217,52 @@ int nphm_rasterize(const float* verts, int64_t n_verts, const int32_t* faces,
     if (f0 >= f1) continue;
     bufs[i].init(h * w);
     threads.emplace_back([&, i, f0, f1]() {
-      raster_range(verts, faces, f0, f1, cam, h, w, bufs[i]);
+      raster_range(verts, faces, face_normals, pu.data(), pv.data(),
+                   pinvz.data(), pvalid.data(), f0, f1, h, w, bufs[i]);
     });
   }
   for (auto& t : threads) t.join();
+}
+
+// Winner tile + buffer index per pixel; -1 = no hit.
+static inline int merge_pixel(const std::vector<FrameBuf>& bufs, int64_t i,
+                              float* best_depth) {
+  float best = std::numeric_limits<float>::infinity();
+  int best_b = -1;
+  for (size_t b = 0; b < bufs.size(); ++b) {
+    if (!bufs[b].depth.empty() && bufs[b].depth[i] < best) {
+      best = bufs[b].depth[i];
+      best_b = (int)b;
+    }
+  }
+  *best_depth = best;
+  return best_b;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Rt: 4x4 camera-to-world pose, row-major (OpenGL convention: camera looks
+// along -z). K: 3x3 row-major intrinsics. face_normals: [n_faces,3] unit
+// world-space normals, or NULL to compute them here. Outputs are
+// h*w(-sized) buffers allocated by the caller: depth (view depth, inf where
+// empty), points (world xyz), normals (world face normals), mask (1 = hit).
+int nphm_rasterize(const float* verts, int64_t n_verts, const int32_t* faces,
+                   int64_t n_faces, const float* face_normals, const float* K,
+                   const float* Rt, int h, int w, float znear, float zfar,
+                   float* out_depth, float* out_points, float* out_normals,
+                   uint8_t* out_mask) {
+  Cam cam = make_cam(K, Rt, znear, zfar);
+  std::vector<FrameBuf> bufs;
+  std::vector<float> fn_storage;
+  raster_pipeline(verts, n_verts, faces, n_faces, face_normals, cam, h, w,
+                  bufs, fn_storage);
 
   int64_t n = (int64_t)h * w;
   for (int64_t i = 0; i < n; ++i) {
-    float best = std::numeric_limits<float>::infinity();
-    int best_b = -1;
-    for (int b = 0; b < n_threads; ++b) {
-      if (!bufs[b].depth.empty() && bufs[b].depth[i] < best) {
-        best = bufs[b].depth[i];
-        best_b = b;
-      }
-    }
+    float best;
+    int best_b = merge_pixel(bufs, i, &best);
     if (best_b < 0) {
       out_depth[i] = std::numeric_limits<float>::infinity();
       out_mask[i] = 0;
@@ -200,6 +277,50 @@ int nphm_rasterize(const float* verts, int64_t n_verts, const int32_t* faces,
                   3 * sizeof(float));
     }
   }
+  return 0;
+}
+
+// Visible-surface sampling for eval: rasterize, then emit only the hit
+// pixels whose surface is front-facing w.r.t. the camera ray —
+// dot(ray_hat, n) < -cos_thresh, the reference's backface removal
+// (render_utils.py:169-201) — compacted in row-major pixel order (identical
+// to masking the full image buffers on the Python side).  out_points /
+// out_normals must hold h*w*3 floats; *out_count receives the number of
+// emitted samples.
+int nphm_render_visible(const float* verts, int64_t n_verts,
+                        const int32_t* faces, int64_t n_faces,
+                        const float* face_normals, const float* K,
+                        const float* Rt, int h, int w, float znear, float zfar,
+                        float cos_thresh, float* out_points,
+                        float* out_normals, int64_t* out_count) {
+  Cam cam = make_cam(K, Rt, znear, zfar);
+  std::vector<FrameBuf> bufs;
+  std::vector<float> fn_storage;
+  raster_pipeline(verts, n_verts, faces, n_faces, face_normals, cam, h, w,
+                  bufs, fn_storage);
+
+  int64_t n = (int64_t)h * w;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    float best;
+    int best_b = merge_pixel(bufs, i, &best);
+    if (best_b < 0) continue;
+    const float* p = &bufs[best_b].points[3 * i];
+    const float* nn = &bufs[best_b].normals[3 * i];
+    // double for the cull test: matches the float64 numpy path bit-for-bit
+    // on the threshold boundary
+    double rx = (double)p[0] - cam.t[0];
+    double ry = (double)p[1] - cam.t[1];
+    double rz = (double)p[2] - cam.t[2];
+    double rlen = std::sqrt(rx * rx + ry * ry + rz * rz);
+    if (rlen < 1e-20) rlen = 1e-20;
+    double dot = rx * nn[0] + ry * nn[1] + rz * nn[2];
+    if (dot >= -(double)cos_thresh * rlen) continue;
+    std::memcpy(out_points + 3 * count, p, 3 * sizeof(float));
+    std::memcpy(out_normals + 3 * count, nn, 3 * sizeof(float));
+    ++count;
+  }
+  *out_count = count;
   return 0;
 }
 

@@ -63,12 +63,15 @@ def rasterize(
     rend_size=(1280, 960),
     znear: float = 0.1,
     zfar: float = 2.0,
+    face_normals: np.ndarray | None = None,
 ):
     """Render depth/points/normals from a pinhole camera.
 
-    rend_size: (height, width).  Returns dict with 'depth' [h,w] (view depth,
-    inf at misses), 'points' [h,w,3] world, 'normals' [h,w,3] world face
-    normals, 'mask' [h,w] bool.
+    rend_size: (height, width).  face_normals: precomputed [F,3] unit face
+    normals — pass them when rendering the same mesh from many views (they
+    are view-independent); None computes them natively per call.  Returns
+    dict with 'depth' [h,w] (view depth, inf at misses), 'points' [h,w,3]
+    world, 'normals' [h,w,3] world face normals, 'mask' [h,w] bool.
     """
     h, w = int(rend_size[0]), int(rend_size[1])
     verts = np.ascontiguousarray(mesh.vertices, np.float32)
@@ -83,9 +86,15 @@ def rasterize(
 
     lib = get_lib()
     f32p = ctypes.POINTER(ctypes.c_float)
+    if face_normals is not None:
+        face_normals = np.ascontiguousarray(face_normals, np.float32)
+        fn_arg = face_normals.ctypes.data_as(f32p)
+    else:
+        fn_arg = None
     rc = lib.nphm_rasterize(
         verts.ctypes.data_as(f32p), len(verts),
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
+        fn_arg,
         K.ctypes.data_as(f32p), Rt.ctypes.data_as(f32p),
         h, w, ctypes.c_float(znear), ctypes.c_float(zfar),
         depth.ctypes.data_as(f32p), points.ctypes.data_as(f32p),
@@ -103,33 +112,72 @@ def rasterize(
 
 
 def render_view_points(
-    mesh: Mesh, K, Rt, rend_size=(1280, 960), znear=0.1, zfar=2.0
+    mesh: Mesh, K, Rt, rend_size=(1280, 960), znear=0.1, zfar=2.0,
+    face_normals=None,
 ):
     """Visible world-space surface samples + normals for one view."""
-    out = rasterize(mesh, K, Rt, rend_size, znear, zfar)
+    out = rasterize(mesh, K, Rt, rend_size, znear, zfar, face_normals)
     m = out["mask"].reshape(-1)
     return out["points"].reshape(-1, 3)[m], out["normals"].reshape(-1, 3)[m]
+
+
+def render_visible_points(
+    mesh: Mesh, K, Rt, rend_size=(1280, 960), znear=0.1, zfar=2.0,
+    face_normals=None, cos_thresh=0.01,
+):
+    """Front-facing visible surface samples + normals for one view, compacted
+    natively (row-major pixel order — identical to masking the full-image
+    rasterize() buffers, without materializing them)."""
+    h, w = int(rend_size[0]), int(rend_size[1])
+    verts = np.ascontiguousarray(mesh.vertices, np.float32)
+    faces = np.ascontiguousarray(mesh.faces, np.int32)
+    K = np.ascontiguousarray(K, np.float32)
+    Rt = np.ascontiguousarray(Rt, np.float32)
+    points = np.empty((h * w, 3), np.float32)
+    normals = np.empty((h * w, 3), np.float32)
+    count = ctypes.c_int64(0)
+
+    lib = get_lib()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    if face_normals is not None:
+        face_normals = np.ascontiguousarray(face_normals, np.float32)
+        fn_arg = face_normals.ctypes.data_as(f32p)
+    else:
+        fn_arg = None
+    rc = lib.nphm_render_visible(
+        verts.ctypes.data_as(f32p), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
+        fn_arg,
+        K.ctypes.data_as(f32p), Rt.ctypes.data_as(f32p),
+        h, w, ctypes.c_float(znear), ctypes.c_float(zfar),
+        ctypes.c_float(cos_thresh),
+        points.ctypes.data_as(f32p), normals.ctypes.data_as(f32p),
+        ctypes.byref(count),
+    )
+    if rc != 0:
+        raise RuntimeError(f"render_visible failed with code {rc}")
+    n = count.value
+    return points[:n], normals[:n]
 
 
 def gen_render_samples(mesh: Mesh, n_views: int, scale: float = 4.0):
     """Multi-view visible-surface sampling with backface removal
     (reference render_utils.py:169-201)."""
     m = Mesh(mesh.vertices / scale, mesh.faces)
+    # face normals are view-independent (and invariant to the uniform
+    # scale): compute once for all n_views renders
+    fn = np.ascontiguousarray(m.face_normals, np.float32)
     cams = fibonacci_sphere(n_views + 2)[1:-1]
     cams.reverse()
     all_points, all_normals = [], []
     for cam_origin in cams:
         eye = np.asarray(cam_origin) * 0.6
         E = look_at(eye, np.zeros(3), np.array([0, 1, 0]))
-        pts, normals = render_view_points(m, KK, E, rend_size=(1280, 960))
-        ray_dir = pts - eye
-        ray_dir /= np.maximum(
-            np.linalg.norm(ray_dir, axis=-1, keepdims=True), 1e-20
+        pts, normals = render_visible_points(
+            m, KK, E, rend_size=(1280, 960), face_normals=fn
         )
-        angle = np.sum(ray_dir * normals, axis=-1)
-        keep = angle < -0.01
-        all_points.append(pts[keep])
-        all_normals.append(normals[keep])
+        all_points.append(pts)
+        all_normals.append(normals)
     return (
         np.concatenate(all_points, axis=0) * scale,
         np.concatenate(all_normals, axis=0),

@@ -99,11 +99,25 @@ def get_lib() -> ctypes.CDLL:
         lib.nphm_rasterize.argtypes = [
             f32p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            f32p,  # face normals (or None: computed natively)
             f32p, f32p,
             ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_float,
             f32p, f32p, f32p,
             ctypes.POINTER(ctypes.c_uint8),
+        ]
+
+        lib.nphm_render_visible.restype = ctypes.c_int
+        lib.nphm_render_visible.argtypes = [
+            f32p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            f32p,  # face normals (or None: computed natively)
+            f32p, f32p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float,  # backface cos threshold
+            f32p, f32p,
+            ctypes.POINTER(ctypes.c_int64),
         ]
 
         _LIB = lib

@@ -181,3 +181,33 @@ def test_eval_mesh_onet_and_viz_chamfer():
 
     viz = eval_viz_uni_chamfer(mesh.vertices, mesh.vertices)
     assert float(viz["dist_pred2gt"].max()) == 0.0
+
+
+def test_render_visible_matches_rasterize_mask_cull():
+    """The native compacted path (nphm_render_visible) must equal the
+    full-buffer rasterize() + mask + backface-cull numpy pipeline exactly,
+    in the same row-major pixel order."""
+    from nphm_tpu.evaluation.render import render_visible_points
+
+    mesh = _sphere_mesh(r=0.4)
+    eye = np.array([0.3, 0.2, 1.1])
+    E = look_at(eye, np.zeros(3), np.array([0, 1, 0]))
+    K = np.array([[500.0, 0, 128], [0, 500.0, 128], [0, 0, 1]])
+
+    fn = np.ascontiguousarray(mesh.face_normals, np.float32)
+    out = rasterize(
+        mesh, K, E, rend_size=(256, 256), znear=0.1, zfar=3.0, face_normals=fn
+    )
+    m = out["mask"].reshape(-1)
+    pts = out["points"].reshape(-1, 3)[m]
+    nrm = out["normals"].reshape(-1, 3)[m]
+    ray = pts - eye
+    ray = ray / np.maximum(np.linalg.norm(ray, axis=-1, keepdims=True), 1e-20)
+    keep = np.sum(ray * nrm, axis=-1) < -0.01
+
+    pts2, nrm2 = render_visible_points(
+        mesh, K, E, rend_size=(256, 256), znear=0.1, zfar=3.0, face_normals=fn
+    )
+    assert len(pts2) == keep.sum()
+    np.testing.assert_array_equal(pts2, pts[keep])
+    np.testing.assert_array_equal(nrm2, nrm[keep])
