@@ -32,6 +32,9 @@ import numpy as np
 import jax
 
 from nphm_tpu.models import NPHMConfig, make_nphm_decoder
+from nphm_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
 from nphm_tpu.ops.grid import create_grid_points_from_bounds
 from nphm_tpu.ops.marching import mesh_from_logits
 from nphm_tpu.reconstruction.extract import make_sdf_evaluator

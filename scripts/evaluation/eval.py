@@ -24,6 +24,9 @@ import os as _os
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 
 from nphm_tpu import env_paths
+from nphm_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
 from nphm_tpu.data.manager import DataManager
 from nphm_tpu.evaluation.metrics import eval_pointcloud
 from nphm_tpu.evaluation.render import gen_render_samples

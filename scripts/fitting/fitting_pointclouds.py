@@ -23,6 +23,9 @@ import os as _os
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 
 from nphm_tpu import env_paths
+from nphm_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
 from nphm_tpu.config import (
     build_expression_decoder,
     build_identity_decoder,

@@ -34,6 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
 import jax  # noqa: E402
 
 from nphm_tpu.data.sampling import sample_mesh_surface  # noqa: E402
+from nphm_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
 from nphm_tpu.data.synthetic import (  # noqa: E402
     SyntheticDeformationDataset,
     SyntheticIdentityDataset,
