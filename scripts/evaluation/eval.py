@@ -111,7 +111,14 @@ def sample_surface_points(mesh, mesh_flame, face_idx, num_samps, rng):
         valids = _face_valid(sl_pts, face_verts, face_normals, kdtree)
         samps_face = sl_pts[valids, :]
         samps_normals_face = sl_nrm[valids, :]
-        rif = rng.integers(0, max(samps_face.shape[0], 1), num_samps)
+        if samps_face.shape[0] == 0:
+            # not a single face-valid sample (prediction nowhere near the
+            # registration's face): score the face metric on the full
+            # region rather than crashing (the reference raises here)
+            print("WARNING: no face-valid samples; face metrics use the "
+                  "full region")
+            samps_face, samps_normals_face = sl_pts, sl_nrm
+        rif = rng.integers(0, samps_face.shape[0], num_samps)
         return (
             samps[ri, :], samps_normals[ri, :],
             samps_face[rif, :], samps_normals_face[rif, :],

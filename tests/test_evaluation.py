@@ -211,3 +211,68 @@ def test_render_visible_matches_rasterize_mask_cull():
     assert len(pts2) == keep.sum()
     np.testing.assert_array_equal(pts2, pts[keep])
     np.testing.assert_array_equal(nrm2, nrm[keep])
+
+
+def _load_eval_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_script", os.path.join(REPO, "scripts", "evaluation", "eval.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sample_surface_points_slicing_and_determinism():
+    """Index-based slicing: every drawn point is above the chin plane, face
+    points satisfy the face rule, and the draw stream is deterministic."""
+    ev = _load_eval_module()
+    mesh = _sphere_mesh(r=0.4)
+    flame = _sphere_mesh(r=0.38, res=48)  # stand-in FLAME registration
+    assert len(flame.vertices) > max(ev.CHIN_PLANE)
+
+    # membership of _slice_indices == slice_properly
+    pts = np.asarray(mesh.vertices, np.float32)
+    kept, _ = ev.slice_properly(flame, pts)
+    idx = ev._slice_indices(flame, pts)
+    np.testing.assert_array_equal(pts[idx], kept)
+
+    face_idx = np.arange(0, len(flame.vertices), 7)
+    out1 = ev.sample_surface_points(
+        mesh, flame, face_idx, 2000, np.random.default_rng(3)
+    )
+    out2 = ev.sample_surface_points(
+        mesh, flame, face_idx, 2000, np.random.default_rng(3)
+    )
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(a, b)
+
+    samps, _, samps_face, _ = out1
+    assert samps.shape == (2000, 3) and samps_face.shape[0] == 2000
+    # all draws above the chin plane of the stand-in registration
+    v1, v2, v3 = (flame.vertices[i] for i in ev.CHIN_PLANE)
+    n = np.cross(v2 - v1, v3 - v1)
+    assert (((samps - v1) @ n) > 0.003).all()
+    # face draws satisfy the reference face rule
+    from scipy.spatial import cKDTree as KDTree
+
+    fv = np.asarray(flame.vertices[face_idx])
+    fn = flame.vertex_normals[face_idx]
+    ok = ev._face_valid(samps_face, fv, fn, KDTree(fv))
+    assert ok.all()
+
+
+def test_sample_surface_points_all_below_plane_fallback():
+    """A mesh entirely below the chin plane warns and samples everything
+    instead of raising (reference crashes on rng.integers(0, 0))."""
+    ev = _load_eval_module()
+    mesh = _sphere_mesh(r=0.4)
+    flame = _sphere_mesh(r=0.38, res=48)
+    # push the registration far above the mesh: every sample lands below
+    flame = Mesh(np.asarray(flame.vertices) + np.array([0, 10.0, 0]), flame.faces)
+    face_idx = np.arange(0, len(flame.vertices), 7)
+    out = ev.sample_surface_points(
+        mesh, flame, face_idx, 500, np.random.default_rng(0)
+    )
+    assert out[0].shape == (500, 3)
