@@ -80,11 +80,16 @@ def sample_shape_space(args, CFG, decoder_shape, params_shape):
     lat_mean = np.load(os.path.join(env_paths.ASSETS, f"{prefix}_lat_mean.npy"))
     lat_std = np.load(os.path.join(env_paths.ASSETS, f"{prefix}_lat_std.npy"))
 
-    from nphm_tpu.reconstruction.extract import _pallas_available, extract_mesh
+    from nphm_tpu.reconstruction.extract import (
+        _pallas_available,
+        extract_mesh,
+        extract_mesh_streamed,
+    )
 
+    use_stream = _pallas_available(decoder_shape)
     evaluator = (
         None
-        if _pallas_available(decoder_shape)
+        if use_stream
         else make_sdf_evaluator(decoder_shape, chunk_size=args.batch_points)
     )
     rng = np.random.default_rng(args.seed)
@@ -92,10 +97,18 @@ def sample_shape_space(args, CFG, decoder_shape, params_shape):
         lat = (rng.normal(size=lat_mean.shape) * lat_std * 0.85 + lat_mean).astype(
             np.float32
         )[None]
-        mesh = extract_mesh(
-            decoder_shape, params_shape, lat, GRID_MIN, GRID_MAX,
-            args.resolution, chunk_size=args.batch_points, evaluator=evaluator,
-        )
+        if use_stream:
+            # same slab-pipelined f16-transfer path as subject export
+            mesh = extract_mesh_streamed(
+                decoder_shape, params_shape, lat, GRID_MIN, GRID_MAX,
+                args.resolution, transfer_dtype=np.float16,
+            )
+        else:
+            mesh = extract_mesh(
+                decoder_shape, params_shape, lat, GRID_MIN, GRID_MAX,
+                args.resolution, chunk_size=args.batch_points,
+                evaluator=evaluator,
+            )
         mesh.export(os.path.join(out_dir, f"mesh_{step:04d}.ply"))
         np.save(os.path.join(out_dir, f"lat_{step:04d}.npy"), lat)
         print(f"sample {step}: {len(mesh.vertices)} verts")
