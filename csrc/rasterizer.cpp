@@ -37,12 +37,42 @@ struct FrameBuf {
   std::vector<float> points;  // world xyz
   std::vector<float> normals; // world face normal
 
-  void init(int n) {
-    depth.assign(n, std::numeric_limits<float>::infinity());
-    points.assign(3 * n, 0.f);
-    normals.assign(3 * n, 0.f);
+  // Only depth needs re-initialization: points/normals are read back solely
+  // for pixels whose depth was written this call.  Buffers are reused across
+  // calls (see Workspace) — avoiding the ~34 MB/view of freshly-mmap'd
+  // pages whose first-touch faults dominated per-view cost on slow hosts.
+  void init(int64_t n) {
+    depth.resize(n);
+    std::fill(depth.begin(), depth.end(),
+              std::numeric_limits<float>::infinity());
+    points.resize(3 * n);
+    normals.resize(3 * n);
   }
 };
+
+// Packed per-vertex projection record: one 16-byte load per vertex in the
+// face loop instead of gathers across four separate arrays (the face loop is
+// memory-bound on meshes whose triangles cover ~1 pixel).
+struct PVert {
+  float u, v, invz;
+  uint32_t valid;
+};
+
+// Per-calling-thread persistent scratch: rasterization is called hundreds of
+// times per evaluation run (10 views x 2 meshes x N scans); re-allocating
+// the framebuffers and projection arrays every call pays the OS page-fault
+// cost of ~40 MB per view.  thread_local keeps concurrent host threads
+// (eval.py --workers) independent.
+struct Workspace {
+  std::vector<PVert> pverts;
+  std::vector<FrameBuf> bufs;
+  std::vector<float> fn_storage;
+};
+
+static Workspace& workspace() {
+  static thread_local Workspace ws;
+  return ws;
+}
 
 struct Cam {
   float fx, fy, cx, cy;
@@ -62,8 +92,7 @@ static inline void world_to_cam(const Cam& c, const float* pw, float* pc) {
 // was the dominant cost for marching-cubes output whose triangles cover
 // ~1 pixel each.
 static void project_range(const Cam& cam, const float* verts, int64_t v0,
-                          int64_t v1, float* u, float* v, float* invz,
-                          uint8_t* valid) {
+                          int64_t v1, PVert* pv) {
   for (int64_t i = v0; i < v1; ++i) {
     float pc[3];
     world_to_cam(cam, verts + 3 * i, pc);
@@ -71,31 +100,28 @@ static void project_range(const Cam& cam, const float* verts, int64_t v0,
     // clip vertices at the near/far planes (triangles touching them are
     // dropped whole, as before — fine for closed heads)
     if (z < cam.znear || z > cam.zfar) {
-      valid[i] = 0;
-      u[i] = v[i] = invz[i] = 0.f;
+      pv[i] = {0.f, 0.f, 0.f, 0u};
       continue;
     }
     float iz = 1.0f / z;
-    valid[i] = 1;
-    invz[i] = iz;
-    u[i] = cam.fx * pc[0] * iz + cam.cx;
-    v[i] = cam.cy - cam.fy * pc[1] * iz;
+    pv[i] = {cam.fx * pc[0] * iz + cam.cx, cam.cy - cam.fy * pc[1] * iz, iz,
+             1u};
   }
 }
 
 static void raster_range(const float* verts, const int32_t* faces,
-                         const float* face_normals, const float* pu,
-                         const float* pv, const float* pinvz,
-                         const uint8_t* pvalid, int64_t f0, int64_t f1,
+                         const float* face_normals, const PVert* pverts,
+                         int64_t f0, int64_t f1,
                          int h, int w, FrameBuf& fb) {
   for (int64_t f = f0; f < f1; ++f) {
     const int32_t* tri = faces + 3 * f;
     const int32_t i0 = tri[0], i1 = tri[1], i2 = tri[2];
-    if (!(pvalid[i0] & pvalid[i1] & pvalid[i2])) continue;
+    const PVert p0 = pverts[i0], p1 = pverts[i1], p2 = pverts[i2];
+    if (!(p0.valid & p1.valid & p2.valid)) continue;
     const float* pw[3] = {verts + 3 * i0, verts + 3 * i1, verts + 3 * i2};
-    const float u[3] = {pu[i0], pu[i1], pu[i2]};
-    const float v[3] = {pv[i0], pv[i1], pv[i2]};
-    const float invz[3] = {pinvz[i0], pinvz[i1], pinvz[i2]};
+    const float u[3] = {p0.u, p1.u, p2.u};
+    const float v[3] = {p0.v, p1.v, p2.v};
+    const float invz[3] = {p0.invz, p1.invz, p2.invz};
 
     int min_x = (int)std::floor(std::min({u[0], u[1], u[2]}));
     int max_x = (int)std::ceil(std::max({u[0], u[1], u[2]}));
@@ -160,20 +186,56 @@ static Cam make_cam(const float* K, const float* Rt, float znear, float zfar) {
   return cam;
 }
 
-// Shared projection + rasterization stages; per-thread tiles land in `bufs`
-// (empty entries mean the thread had no faces).
+static void face_normals_range(const float* verts, const int32_t* faces,
+                               int64_t f0, int64_t f1, float* out) {
+  for (int64_t f = f0; f < f1; ++f) {
+    const int32_t* tri = faces + 3 * f;
+    const float* a = verts + 3 * tri[0];
+    const float* b = verts + 3 * tri[1];
+    const float* c = verts + 3 * tri[2];
+    Vec3 e1 = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    Vec3 e2 = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    Vec3 n = cross3(e1, e2);
+    float nl = std::sqrt(n.x * n.x + n.y * n.y + n.z * n.z);
+    float inl = nl < 1e-20f ? 0.f : 1.0f / nl;
+    out[3 * f] = n.x * inl;
+    out[3 * f + 1] = n.y * inl;
+    out[3 * f + 2] = n.z * inl;
+  }
+}
+
+static void compute_face_normals(const float* verts, const int32_t* faces,
+                                 int64_t n_faces, float* out) {
+  unsigned hw_threads = std::thread::hardware_concurrency();
+  int n_threads = hw_threads ? (int)hw_threads : 4;
+  if ((int64_t)n_threads > n_faces)
+    n_threads = (int)std::max<int64_t>(1, n_faces);
+  std::vector<std::thread> threads;
+  int64_t per = (n_faces + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int64_t f0 = i * per;
+    int64_t f1 = std::min<int64_t>(f0 + per, n_faces);
+    if (f0 >= f1) continue;
+    threads.emplace_back(
+        [=]() { face_normals_range(verts, faces, f0, f1, out); });
+  }
+  for (auto& t : threads) t.join();
+}
+
+// Shared projection + rasterization stages; per-thread tiles land in the
+// workspace's `bufs` (entries with an empty depth vector took no part in
+// this call).
 static void raster_pipeline(const float* verts, int64_t n_verts,
                             const int32_t* faces, int64_t n_faces,
                             const float* face_normals, const Cam& cam, int h,
-                            int w, std::vector<FrameBuf>& bufs,
-                            std::vector<float>& fn_storage) {
+                            int w, Workspace& ws) {
   unsigned hw_threads = std::thread::hardware_concurrency();
   int n_threads = hw_threads ? (int)hw_threads : 4;
   if ((int64_t)n_threads > n_faces) n_threads = (int)std::max<int64_t>(1, n_faces);
 
   // per-vertex projection prepass (threaded)
-  std::vector<float> pu(n_verts), pv(n_verts), pinvz(n_verts);
-  std::vector<uint8_t> pvalid(n_verts);
+  ws.pverts.resize(n_verts);
+  PVert* pverts = ws.pverts.data();
   {
     std::vector<std::thread> vthreads;
     int64_t per_v = (n_verts + n_threads - 1) / n_threads;
@@ -182,43 +244,32 @@ static void raster_pipeline(const float* verts, int64_t n_verts,
       int64_t v1 = std::min<int64_t>(v0 + per_v, n_verts);
       if (v0 >= v1) continue;
       vthreads.emplace_back([&, v0, v1]() {
-        project_range(cam, verts, v0, v1, pu.data(), pv.data(), pinvz.data(),
-                      pvalid.data());
+        project_range(cam, verts, v0, v1, pverts);
       });
     }
     for (auto& t : vthreads) t.join();
   }
 
   if (face_normals == nullptr) {
-    fn_storage.resize(3 * n_faces);
-    for (int64_t f = 0; f < n_faces; ++f) {
-      const int32_t* tri = faces + 3 * f;
-      const float* a = verts + 3 * tri[0];
-      const float* b = verts + 3 * tri[1];
-      const float* c = verts + 3 * tri[2];
-      Vec3 e1 = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
-      Vec3 e2 = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
-      Vec3 n = cross3(e1, e2);
-      float nl = std::sqrt(n.x * n.x + n.y * n.y + n.z * n.z);
-      float inl = nl < 1e-20f ? 0.f : 1.0f / nl;
-      fn_storage[3 * f] = n.x * inl;
-      fn_storage[3 * f + 1] = n.y * inl;
-      fn_storage[3 * f + 2] = n.z * inl;
-    }
-    face_normals = fn_storage.data();
+    ws.fn_storage.resize(3 * n_faces);
+    compute_face_normals(verts, faces, n_faces, ws.fn_storage.data());
+    face_normals = ws.fn_storage.data();
   }
 
-  bufs.resize(n_threads);
+  if ((int)ws.bufs.size() < n_threads) ws.bufs.resize(n_threads);
+  std::vector<FrameBuf>& bufs = ws.bufs;
   std::vector<std::thread> threads;
   int64_t per = (n_faces + n_threads - 1) / n_threads;
-  for (int i = 0; i < n_threads; ++i) {
-    int64_t f0 = i * per;
+  for (int i = 0; i < (int)bufs.size(); ++i) {
+    int64_t f0 = (int64_t)i * per;
     int64_t f1 = std::min<int64_t>(f0 + per, n_faces);
-    if (f0 >= f1) continue;
-    bufs[i].init(h * w);
+    if (f0 >= f1) {
+      bufs[i].depth.clear();  // mark as not participating in this call
+      continue;
+    }
+    bufs[i].init((int64_t)h * w);
     threads.emplace_back([&, i, f0, f1]() {
-      raster_range(verts, faces, face_normals, pu.data(), pv.data(),
-                   pinvz.data(), pvalid.data(), f0, f1, h, w, bufs[i]);
+      raster_range(verts, faces, face_normals, pverts, f0, f1, h, w, bufs[i]);
     });
   }
   for (auto& t : threads) t.join();
@@ -254,10 +305,9 @@ int nphm_rasterize(const float* verts, int64_t n_verts, const int32_t* faces,
                    float* out_depth, float* out_points, float* out_normals,
                    uint8_t* out_mask) {
   Cam cam = make_cam(K, Rt, znear, zfar);
-  std::vector<FrameBuf> bufs;
-  std::vector<float> fn_storage;
-  raster_pipeline(verts, n_verts, faces, n_faces, face_normals, cam, h, w,
-                  bufs, fn_storage);
+  Workspace& ws = workspace();
+  raster_pipeline(verts, n_verts, faces, n_faces, face_normals, cam, h, w, ws);
+  const std::vector<FrameBuf>& bufs = ws.bufs;
 
   int64_t n = (int64_t)h * w;
   for (int64_t i = 0; i < n; ++i) {
@@ -294,10 +344,9 @@ int nphm_render_visible(const float* verts, int64_t n_verts,
                         float cos_thresh, float* out_points,
                         float* out_normals, int64_t* out_count) {
   Cam cam = make_cam(K, Rt, znear, zfar);
-  std::vector<FrameBuf> bufs;
-  std::vector<float> fn_storage;
-  raster_pipeline(verts, n_verts, faces, n_faces, face_normals, cam, h, w,
-                  bufs, fn_storage);
+  Workspace& ws = workspace();
+  raster_pipeline(verts, n_verts, faces, n_faces, face_normals, cam, h, w, ws);
+  const std::vector<FrameBuf>& bufs = ws.bufs;
 
   int64_t n = (int64_t)h * w;
   int64_t count = 0;
@@ -321,6 +370,17 @@ int nphm_render_visible(const float* verts, int64_t n_verts,
     ++count;
   }
   *out_count = count;
+  return 0;
+}
+
+// Unit face normals (n / max(|n|, 1e-20) with degenerate faces mapped to 0),
+// threaded.  Replaces the numpy cross/norm chain in Mesh.face_normals for
+// the evaluation path, where its fresh [F,3] temporaries dominated the cost
+// on large marching-cubes meshes.
+int nphm_face_normals(const float* verts, int64_t n_verts,
+                      const int32_t* faces, int64_t n_faces, float* out) {
+  (void)n_verts;
+  compute_face_normals(verts, faces, n_faces, out);
   return 0;
 }
 

@@ -45,7 +45,7 @@ def _build():
 def _sources_newer() -> bool:
     so_mtime = os.path.getmtime(_SO_PATH)
     for fn in os.listdir(_CSRC):
-        if fn.endswith((".cpp", ".h")):
+        if fn.endswith((".cpp", ".h")) or fn == "Makefile":
             if os.path.getmtime(os.path.join(_CSRC, fn)) > so_mtime:
                 return True
     return False
@@ -105,6 +105,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_float, ctypes.c_float,
             f32p, f32p, f32p,
             ctypes.POINTER(ctypes.c_uint8),
+        ]
+
+        lib.nphm_face_normals.restype = ctypes.c_int
+        lib.nphm_face_normals.argtypes = [
+            f32p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            f32p,
         ]
 
         lib.nphm_render_visible.restype = ctypes.c_int

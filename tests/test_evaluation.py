@@ -70,6 +70,42 @@ def test_gen_render_samples_covers_sphere():
     assert (pts[:, 2] > 0.2).sum() > 1000 and (pts[:, 2] < -0.2).sum() > 1000
 
 
+def test_native_face_normals_matches_numpy():
+    """nphm_face_normals == Mesh.face_normals (same float32 formula), with
+    exactly-degenerate faces (duplicate vertices) mapping to the zero vector
+    as numpy's cancellation does — requires the library be built without FP
+    contraction (csrc/Makefile)."""
+    from nphm_tpu.evaluation.render import native_face_normals
+
+    mesh = _sphere_mesh(r=0.4)
+    fn_np = mesh.face_normals.astype(np.float32)
+    fn_c = native_face_normals(mesh)
+    np.testing.assert_allclose(fn_c, fn_np, atol=2e-7)
+
+    v = mesh.vertices[mesh.faces[0]].astype(np.float32)
+    degen = Mesh(
+        np.stack([v[0], v[1], v[1]]), np.array([[0, 1, 2]], np.int32)
+    )
+    np.testing.assert_array_equal(native_face_normals(degen), np.zeros((1, 3)))
+
+
+def test_gen_render_samples_workspace_reuse():
+    """gen_render_samples reuses a per-thread scratch buffer: a second call
+    on a different mesh must return exactly that mesh's samples (no stale
+    rows), and the persistent C++ framebuffers must not leak depth between
+    rasterizations of different meshes."""
+    big = _sphere_mesh(r=0.5)
+    small = _sphere_mesh(r=0.25)
+    pts_b, _ = gen_render_samples(big, 4)
+    n_big = len(pts_b)
+    assert np.abs(np.linalg.norm(pts_b, axis=-1) - 0.5).max() < 0.03
+    pts_s, nrm_s = gen_render_samples(small, 4)
+    assert len(pts_s) < n_big
+    r = np.linalg.norm(pts_s, axis=-1)
+    assert np.abs(r - 0.25).max() < 0.03
+    assert len(pts_s) == len(nrm_s)
+
+
 def test_fibonacci_sphere_unit():
     pts = np.asarray(fibonacci_sphere(100))
     np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 1.0, atol=1e-6)
