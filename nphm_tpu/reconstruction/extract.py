@@ -202,6 +202,91 @@ def deform_mesh(
     return TriMesh(mesh.vertices + delta, mesh.faces.copy())
 
 
+def make_deform_batch_evaluator(
+    deformer, chunk_size: int = DEFAULT_CHUNK, transfer_dtype=None
+):
+    """Chunked deformation evaluator over E expression latents in ONE
+    compiled call: the canonical vertices are uploaded once per subject and
+    every expression's delta returns in a single pull (optionally cast to
+    ``transfer_dtype``, e.g. float16 — the deltas are O(0.1) in canonical
+    units, so f16 quantization is ~1e-4, far below eval noise).  On the
+    relay-attached dev rig the per-expression upload+pull round trips were
+    the dominant cost of subject export; production PCIe hosts win less but
+    still save the E-1 redundant vertex uploads.
+
+    Returns ``evaluate(ctx, points [M,3]) -> np.ndarray [E, M, 3]`` where
+    ``ctx['lats']`` is an [E, 1, L] latent stack.  The program re-specializes
+    per distinct E (expression counts cluster on 2-3 values, so this costs a
+    couple of compiles per run, not one per subject)."""
+
+    def eval_all(ctx, pts):  # pts [C, chunk, 3]
+        def per_expr(lat):
+            def body(_, p):
+                delta, _ = deformer.apply(
+                    ctx["params"], p[None], lat, ctx.get("anchors")
+                )
+                return None, delta[0]
+
+            _, out = jax.lax.scan(body, None, pts)
+            return out  # [C, chunk, 3]
+
+        out = jax.vmap(per_expr)(ctx["lats"])
+        if transfer_dtype is not None:
+            out = out.astype(transfer_dtype)
+        return out
+
+    fn = jax.jit(eval_all)
+
+    def evaluate(ctx, points: np.ndarray) -> np.ndarray:
+        points = np.asarray(points, np.float32).reshape(-1, 3)
+        m = points.shape[0]
+        pad = (-m) % chunk_size
+        if pad:
+            points = np.concatenate(
+                [points, np.zeros((pad, 3), np.float32)], 0
+            )
+        pts = points.reshape(-1, chunk_size, 3)
+        out = np.asarray(fn(ctx, pts))  # [E, C, chunk, 3]
+        return out.reshape(out.shape[0], -1, 3)[:, :m]
+
+    return evaluate
+
+
+def deform_mesh_batch(
+    mesh: TriMesh,
+    deformer,
+    params,
+    lat_exprs,
+    anchors=None,
+    lat_shape=None,
+    chunk_size: int = DEFAULT_CHUNK,
+    evaluator=None,
+) -> list[TriMesh]:
+    """deform_mesh over E expression latents of one subject in a single
+    compiled call (reference reconstruction.py:59-88 runs one warp per
+    expression; the math per expression is identical)."""
+    lats = jnp.stack([_as_lat(le) for le in lat_exprs])  # [E, 1, L]
+    if lat_shape is not None:
+        ls = _as_lat(lat_shape)
+        lats = jnp.concatenate(
+            [jnp.broadcast_to(ls, (lats.shape[0],) + ls.shape), lats], -1
+        )
+    if evaluator is None:
+        evaluator = make_deform_batch_evaluator(deformer, chunk_size)
+    ctx = {
+        "params": params,
+        "lats": lats,
+        "anchors": None
+        if anchors is None
+        else jnp.asarray(anchors).reshape(1, -1, 3),
+    }
+    deltas = evaluator(ctx, mesh.vertices)
+    return [
+        TriMesh(mesh.vertices + d.astype(np.float32), mesh.faces.copy())
+        for d in deltas
+    ]
+
+
 def _pallas_available(decoder) -> bool:
     kind = getattr(decoder, "kind", None)
     if jax.default_backend() != "tpu":

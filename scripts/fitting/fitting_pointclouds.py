@@ -40,8 +40,8 @@ from nphm_tpu.fitting import (
     fit_joint_batch_resilient,
 )
 from nphm_tpu.reconstruction.extract import (
-    deform_mesh,
-    make_deform_evaluator,
+    deform_mesh_batch,
+    make_deform_batch_evaluator,
     make_sdf_evaluator,
 )
 from nphm_tpu.training import checkpoints as ckpt
@@ -130,7 +130,15 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
         if _pallas_available(decoder_shape)
         else make_sdf_evaluator(decoder_shape, chunk_size=args.batch_points)
     )
-    def_eval = make_deform_evaluator(decoder_expr)
+    # one compiled program per distinct expression count: vertices upload
+    # once per subject, all deltas return in one f16 pull on TPU (the
+    # per-expression round trips dominated subject export through the relay)
+    def_eval = make_deform_batch_evaluator(
+        decoder_expr,
+        transfer_dtype=(
+            np.float16 if jax.default_backend() == "tpu" else None
+        ),
+    )
 
     print("############ Starting Fitting ############")
     fcfg = FittingConfig(
@@ -225,12 +233,13 @@ def _export_subject(args, out_dir, decoder_shape, params_shape, decoder_expr,
             decoder_shape, params_shape, lat_shape, GRID_MIN, GRID_MAX,
             args.resolution, chunk_size=args.batch_points, evaluator=sdf_eval,
         )
+    meshes = deform_mesh_batch(
+        mesh_can, decoder_expr, params_expr,
+        [lat_expr[i][None] for i in range(len(inds))],
+        anchors=anchors, lat_shape=lat_shape, evaluator=def_eval,
+    )
     for i, expr_ind in enumerate(inds):
-        mesh = deform_mesh(
-            mesh_can, decoder_expr, params_expr, lat_expr[i][None],
-            anchors=anchors, lat_shape=lat_shape, evaluator=def_eval,
-        )
-        mesh.export(os.path.join(out_dir, f"{subj}_{expr_ind}.ply"))
+        meshes[i].export(os.path.join(out_dir, f"{subj}_{expr_ind}.ply"))
         np.save(os.path.join(out_dir, f"{subj}_{expr_ind}_lat_shape.npy"), lat_shape)
         np.save(
             os.path.join(out_dir, f"{subj}_{expr_ind}_lat_expr.npy"),

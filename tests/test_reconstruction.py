@@ -170,6 +170,52 @@ def test_deform_mesh_translation():
     np.testing.assert_array_equal(out.faces, m.faces)
 
 
+def test_deform_mesh_batch_matches_per_expression():
+    """deform_mesh_batch == deform_mesh run once per expression (same warp
+    math, one compiled call), including the lat_shape concat convention and
+    the optional f16 delta transfer."""
+    from nphm_tpu.reconstruction.extract import (
+        deform_mesh_batch,
+        make_deform_batch_evaluator,
+    )
+
+    @dataclasses.dataclass(frozen=True)
+    class LatWarp:
+        def apply(self, params, xyz, lat, anchors=None, **_):
+            # delta depends on both position and the (shape|expr) latent
+            s = jnp.sum(lat, axis=-1, keepdims=True)[..., None]
+            return 0.05 * jnp.sin(xyz * 3.0) * s + params["t"], None
+
+    m = _toy_mesh()
+    params = {"t": jnp.asarray([0.01, -0.02, 0.03])}
+    lat_shape = np.full((1, 4), 0.2, np.float32)
+    lat_exprs = [
+        np.full((1, 6), 0.1 * (i + 1), np.float32) for i in range(3)
+    ]
+    ref = [
+        deform_mesh(
+            m, LatWarp(), params, le, lat_shape=lat_shape, chunk_size=64
+        )
+        for le in lat_exprs
+    ]
+    out = deform_mesh_batch(
+        m, LatWarp(), params, lat_exprs, lat_shape=lat_shape, chunk_size=64
+    )
+    assert len(out) == 3
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(a.vertices, b.vertices, atol=1e-6)
+        np.testing.assert_array_equal(a.faces, b.faces)
+
+    ev16 = make_deform_batch_evaluator(
+        LatWarp(), chunk_size=64, transfer_dtype=np.float16
+    )
+    out16 = deform_mesh_batch(
+        m, LatWarp(), params, lat_exprs, lat_shape=lat_shape, evaluator=ev16
+    )
+    for a, b in zip(out16, ref):
+        np.testing.assert_allclose(a.vertices, b.vertices, atol=2e-4)
+
+
 def test_streamed_extraction_matches_full():
     """extract_mesh_streamed (x-slab pipeline: device eval || transfer ||
     marching tets, VERDICT r1 item 4) produces the same geometry as the
