@@ -41,6 +41,34 @@ def _ellipsoid_mesh(radii, center, res=56) -> Mesh:
     return mesh
 
 
+def _nonrigid_warp(rng, n_bumps: int = 3, strength: float = 0.06):
+    """A smooth, invertible, spatially-varying displacement field.
+
+    Sum of ``n_bumps`` Gaussian bumps plus a small rigid translation.  The
+    displacement-gradient bound is ~strength/sigma_min < 0.4 so the warp is
+    a diffeomorphism (Broyden's posed->canonical search is well-posed), yet
+    genuinely non-rigid: relative point distances change, which a pure
+    translation (the ``translate`` mode) never does.
+    """
+    centers = rng.uniform(-0.3, 0.3, size=(n_bumps, 3))
+    dirs = rng.normal(size=(n_bumps, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    amps = rng.uniform(0.5, 1.0, size=n_bumps) * strength
+    sigmas = rng.uniform(0.18, 0.30, size=n_bumps)
+    t = rng.normal(size=3) * 0.02
+
+    def warp(pts: np.ndarray) -> np.ndarray:
+        out = pts + t
+        for k in range(n_bumps):
+            w = np.exp(
+                -((pts - centers[k]) ** 2).sum(-1) / (2.0 * sigmas[k] ** 2)
+            )
+            out = out + (amps[k] * w)[:, None] * dirs[k]
+        return out.astype(np.float32)
+
+    return warp
+
+
 def generate_dummy_data(
     root: str,
     subjects=(351, 365),
@@ -48,6 +76,7 @@ def generate_dummy_data(
     n_supervision: int = 20000,
     num_splits: int = 2,
     seed: int = 0,
+    expression_mode: str = "translate",
 ):
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
@@ -102,10 +131,19 @@ def generate_dummy_data(
         for e in range(n_expressions):
             scan_dir = os.path.join(root, "dataset", f"{s:03d}", f"{e:03d}")
             os.makedirs(scan_dir, exist_ok=True)
-            t = rng.normal(size=3) * (0.0 if e == 0 else 0.04)
-            mesh = Mesh(neutral_mesh.vertices + t, neutral_mesh.faces)
-            reg = Mesh((reg_neutral.vertices + t).astype(np.float32),
-                       reg_neutral.faces)
+            if expression_mode == "translate":
+                # (e == 0 still consumes the draw: keeps the seeded stream
+                # identical to what the calibrated tests were tuned on)
+                t = rng.normal(size=3) * (0.0 if e == 0 else 0.04)
+                warp = lambda p, t=t: (p + t).astype(np.float32)  # noqa: E731
+            elif expression_mode != "nonrigid":
+                raise ValueError(f"unknown expression_mode {expression_mode!r}")
+            elif e == 0:
+                warp = lambda p: np.asarray(p, np.float32)  # noqa: E731
+            else:
+                warp = _nonrigid_warp(rng)
+            mesh = Mesh(warp(neutral_mesh.vertices), neutral_mesh.faces)
+            reg = Mesh(warp(reg_neutral.vertices), reg_neutral.faces)
             write_ply(os.path.join(scan_dir, "scan.ply"), mesh.vertices, mesh.faces)
             for name in ("flame.ply", "registration.ply"):
                 write_ply(os.path.join(scan_dir, name), reg.vertices, reg.faces)

@@ -84,6 +84,11 @@ def main():
                     help="force subprocesses onto CPU (CI smoke)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims + few steps (CI smoke)")
+    ap.add_argument("--nonrigid", action="store_true",
+                    help="non-rigid smooth-bump expression warps instead of "
+                         "translations: exercises the deformation field and "
+                         "the Broyden posed->canonical search on spatially-"
+                         "varying warps at protocol scale")
     args = ap.parse_args()
 
     from nphm_tpu import env_paths
@@ -106,7 +111,9 @@ def main():
         root, subjects=tuple(all_subjects),
         n_expressions=args.n_expressions,
         n_supervision=100000 if not args.tiny else 20000,
+        expression_mode="nonrigid" if args.nonrigid else "translate",
     )
+    out["expression_mode"] = "nonrigid" if args.nonrigid else "translate"
     env = dict(os.environ)
     env.update(dummy_env(root))
     if args.cpu:

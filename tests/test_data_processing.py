@@ -137,3 +137,49 @@ def test_example_usage_cli(raw_root):
     )
     assert "landmarks (68, 3)" in out
     assert "anchors (39, 3)" in out
+
+
+def test_nonrigid_expression_mode(tmp_path):
+    """expression_mode="nonrigid" produces spatially-varying warps: the
+    posed scan is NOT a translation of the neutral (pairwise distances
+    change), the registration stays in shared topology under the same warp,
+    and the deformation supervision carries the non-constant displacement
+    the compress-mode field must learn."""
+    from nphm_tpu.data.dummy import generate_dummy_data
+    from nphm_tpu.utils.mesh_io import read_ply
+
+    root = str(tmp_path / "nr")
+    generate_dummy_data(
+        root, subjects=(3,), n_expressions=2, n_supervision=2000,
+        expression_mode="nonrigid",
+    )
+    d = os.path.join(root, "dataset", "003")
+    m0 = read_ply(os.path.join(d, "000", "scan.ply"))
+    m1 = read_ply(os.path.join(d, "001", "scan.ply"))
+    assert np.array_equal(m0.faces, m1.faces)
+    disp = m1.vertices - m0.vertices
+    assert np.linalg.norm(disp, axis=-1).max() > 0.02  # it moved
+    # translation would give a spatially-constant displacement
+    spread = disp.std(axis=0).max()
+    assert spread > 5e-3, spread
+
+    r0 = read_ply(os.path.join(d, "000", "registration.ply"))
+    r1 = read_ply(os.path.join(d, "001", "registration.ply"))
+    assert r0.vertices.shape == r1.vertices.shape  # shared topology preserved
+
+    # supervision correspondences carry the same non-rigid displacement
+    c = np.load(
+        os.path.join(root, "supervision_deformation", "003", "001",
+                     "corresp_0.npy")
+    )
+    pn, pp = c[:, :3], c[:, 3:6]
+    cd = pp - pn
+    assert np.linalg.norm(cd, axis=-1).max() > 0.02
+    assert cd.std(axis=0).max() > 5e-3
+
+    # neutral expression is untouched in both modes
+    c0 = np.load(
+        os.path.join(root, "supervision_deformation", "003", "000",
+                     "corresp_0.npy")
+    )
+    np.testing.assert_allclose(c0[:, :3], c0[:, 3:6], atol=1e-5)
