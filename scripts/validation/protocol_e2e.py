@@ -27,7 +27,7 @@ Pipeline (all through the public CLI surface):
 Usage:  python scripts/validation/protocol_e2e.py [--fit_steps 1000]
             [--resolution 256] [--batch_subjects 8] [--num_samps 50000]
             [--train_epochs 151] [--def_epochs 151] [--n_expressions 6]
-            [--root DIR] [--tiny]
+            [--root DIR] [--tiny] [--nonrigid]
 
 Quality context: the models are QUICK-trained (hundreds of steps, not the
 reference's 30001 epochs), so absolute Chamfer is not comparable to
