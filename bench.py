@@ -236,7 +236,40 @@ def _guard(extra, name, fn, optional=False):
         return False
 
 
+def _backend_or_bail(timeout_s: float = 600.0):
+    """Resolve the JAX backend with a watchdog.
+
+    When the axon TPU relay is unreachable, ``jax.devices()`` blocks forever
+    inside backend initialization (observed: >10 min with zero output) — a
+    hang here would leave the round with NO bench artifact at all.  Probe in
+    a daemon thread; on timeout emit an honest fail-soft JSON line and exit.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        result["backend"] = jax.default_backend()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "backend" not in result:
+        print(json.dumps({
+            "metric": "sdf_queries_per_sec",
+            "value": 0,
+            "unit": "queries/s",
+            "vs_baseline": 0,
+            "error": f"TPU relay unreachable: jax backend init still "
+                     f"blocked after {timeout_s:.0f}s; no device available "
+                     f"to benchmark",
+        }))
+        raise SystemExit(0)
+    return result["backend"]
+
+
 def main():
+    _backend_or_bail(float(os.environ.get("BENCH_BACKEND_TIMEOUT", 600)))
     cfg = NPHMConfig()
     decoder = make_nphm_decoder(cfg, _mean_anchors())
     params = decoder.init(jax.random.PRNGKey(0))
