@@ -233,6 +233,40 @@ def _render_visible_into(
     return count.value
 
 
+def render_screenshot(
+    mesh: Mesh,
+    path: str,
+    rend_size=(640, 480),
+    scale: float = 4.0,
+    eye=(0.0, 0.0, 0.6),
+):
+    """Shaded frontal screenshot of a mesh, saved as PNG.
+
+    Parity for the reference's pyvista screenshots of sampled/fitted heads
+    (``scripts/fitting/fitting_pointclouds.py:222`` saves a plotter
+    screenshot per sample): one frontal render through the native C++
+    rasterizer, headlight Lambertian shading from the face normals, white
+    background.  Needs only Pillow; no GL / pyvista dependency."""
+    m = Mesh(mesh.vertices / scale, mesh.faces)
+    E = look_at(np.asarray(eye, np.float64), np.zeros(3), np.array([0, 1, 0]))
+    h, w = int(rend_size[0]), int(rend_size[1])
+    # scale the eval intrinsics to the screenshot resolution
+    K = KK * np.float32(h / 1280.0)
+    K[2, 2] = 1.0
+    out = rasterize(m, K, E, (h, w))
+    view_dir = np.asarray(eye, np.float32)
+    view_dir = view_dir / np.linalg.norm(view_dir)
+    lambert = np.abs(out["normals"] @ view_dir)  # double-sided headlight
+    shade = (0.15 + 0.85 * lambert)[..., None] * np.array(
+        [0.82, 0.80, 0.78], np.float32
+    )
+    img = np.where(out["mask"][..., None], shade, 1.0)
+    img8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    from PIL import Image
+
+    Image.fromarray(img8).save(path)
+
+
 def gen_render_samples(mesh: Mesh, n_views: int, scale: float = 4.0):
     """Multi-view visible-surface sampling with backface removal
     (reference render_utils.py:169-201).

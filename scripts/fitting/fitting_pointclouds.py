@@ -111,6 +111,16 @@ def sample_shape_space(args, CFG, decoder_shape, params_shape):
             )
         mesh.export(os.path.join(out_dir, f"mesh_{step:04d}.ply"))
         np.save(os.path.join(out_dir, f"lat_{step:04d}.npy"), lat)
+        # screenshot parity with the reference's pyvista plotter capture
+        # (fitting_pointclouds.py:222 saves step_{:04d}.png per sample)
+        try:
+            from nphm_tpu.evaluation.render import render_screenshot
+
+            render_screenshot(
+                mesh, os.path.join(out_dir, f"step_{step:04d}.png")
+            )
+        except Exception as e:  # screenshots are best-effort side output
+            print(f"screenshot failed: {e}")
         print(f"sample {step}: {len(mesh.vertices)} verts")
 
 

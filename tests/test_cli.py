@@ -173,6 +173,9 @@ def test_full_cli_pipeline(dummy_root, tmp_path):
     )
     assert os.path.exists(os.path.join(REPO, "nphm_shape_space_samples_085",
                                        "mesh_0001.ply"))
+    # screenshot parity (reference pyvista capture, step_{:04d}.png)
+    assert os.path.exists(os.path.join(REPO, "nphm_shape_space_samples_085",
+                                       "step_0001.png"))
 
     # --- fitting: -demo (joint fit on dummy single-view clouds) ----------
     _run(

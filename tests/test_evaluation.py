@@ -312,3 +312,25 @@ def test_sample_surface_points_all_below_plane_fallback():
         mesh, flame, face_idx, 500, np.random.default_rng(0)
     )
     assert out[0].shape == (500, 3)
+
+
+def test_render_screenshot(tmp_path):
+    """PNG screenshot parity for the `-sample` CLI (reference saves a
+    pyvista plotter capture per sampled head,
+    fitting_pointclouds.py:222): the head is shaded in the image center,
+    the background stays white, and the file is a real PNG."""
+    from nphm_tpu.evaluation.render import render_screenshot
+
+    mesh = _sphere_mesh(r=0.4)
+    path = str(tmp_path / "shot.png")
+    render_screenshot(mesh, path, rend_size=(160, 120))
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(path))
+    assert img.shape == (160, 120, 3)
+    center = img[80, 60]
+    corner = img[2, 2]
+    assert (corner == 255).all()          # white background
+    assert (center < 250).any()           # shaded head pixel
+    assert center.std() < 30              # near-neutral albedo, not noise
