@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <thread>
@@ -72,6 +73,19 @@ struct Workspace {
 static Workspace& workspace() {
   static thread_local Workspace ws;
   return ws;
+}
+
+// Worker-thread count: NPHM_RASTER_THREADS overrides hardware_concurrency
+// (read per call so tests can toggle it).  Use it to (a) exercise the
+// multi-tile merge path on single-core hosts and (b) avoid N*M
+// oversubscription when eval.py --workers already parallelizes across scans.
+static int worker_threads() {
+  if (const char* s = std::getenv("NPHM_RASTER_THREADS")) {
+    int v = std::atoi(s);
+    if (v >= 1) return std::min(v, 256);
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw ? (int)hw : 4;
 }
 
 struct Cam {
@@ -213,8 +227,7 @@ static void face_normals_range(const float* verts, const int32_t* faces,
 
 static void compute_face_normals(const float* verts, const int32_t* faces,
                                  int64_t n_faces, float* out) {
-  unsigned hw_threads = std::thread::hardware_concurrency();
-  int n_threads = hw_threads ? (int)hw_threads : 4;
+  int n_threads = worker_threads();
   if ((int64_t)n_threads > n_faces)
     n_threads = (int)std::max<int64_t>(1, n_faces);
   std::vector<std::thread> threads;
@@ -236,8 +249,7 @@ static void raster_pipeline(const float* verts, int64_t n_verts,
                             const int32_t* faces, int64_t n_faces,
                             const float* face_normals, const Cam& cam, int h,
                             int w, Workspace& ws) {
-  unsigned hw_threads = std::thread::hardware_concurrency();
-  int n_threads = hw_threads ? (int)hw_threads : 4;
+  int n_threads = worker_threads();
   if ((int64_t)n_threads > n_faces) n_threads = (int)std::max<int64_t>(1, n_faces);
 
   // per-vertex projection prepass (threaded)

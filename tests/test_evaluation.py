@@ -334,3 +334,38 @@ def test_render_screenshot(tmp_path):
     assert (corner == 255).all()          # white background
     assert (center < 250).any()           # shaded head pixel
     assert center.std() < 30              # near-neutral albedo, not noise
+
+
+def test_rasterizer_multitile_merge_exact(monkeypatch):
+    """NPHM_RASTER_THREADS=5 forces the per-thread-tile framebuffer merge
+    path (never exercised on a 1-core host otherwise: hardware_concurrency
+    is 1 there, so every call rasterizes into a single tile).  Output must
+    be bit-identical to the single-tile run — the z-merge is associative
+    and tie-free for distinct faces of a generic mesh."""
+    from nphm_tpu.evaluation.render import (
+        look_at, rasterize, render_visible_points,
+    )
+
+    mesh = _sphere_mesh(r=0.4)
+    eye = np.array([0, 0, 1.2])
+    E = look_at(eye, np.zeros(3), np.array([0, 1, 0]))
+    K = np.array([[500.0, 0, 128], [0, 500.0, 128], [0, 0, 1]])
+
+    monkeypatch.setenv("NPHM_RASTER_THREADS", "1")
+    out1 = rasterize(mesh, K, E, rend_size=(256, 256), znear=0.1, zfar=3.0)
+    p1, n1 = render_visible_points(
+        mesh, K, E, rend_size=(256, 256), znear=0.1, zfar=3.0
+    )
+
+    monkeypatch.setenv("NPHM_RASTER_THREADS", "5")
+    out5 = rasterize(mesh, K, E, rend_size=(256, 256), znear=0.1, zfar=3.0)
+    p5, n5 = render_visible_points(
+        mesh, K, E, rend_size=(256, 256), znear=0.1, zfar=3.0
+    )
+
+    np.testing.assert_array_equal(out1["mask"], out5["mask"])
+    np.testing.assert_array_equal(out1["depth"], out5["depth"])
+    np.testing.assert_array_equal(out1["points"], out5["points"])
+    np.testing.assert_array_equal(out1["normals"], out5["normals"])
+    np.testing.assert_array_equal(p1, p5)
+    np.testing.assert_array_equal(n1, n5)
