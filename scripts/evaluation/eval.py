@@ -248,6 +248,13 @@ def main():
     else:
         import concurrent.futures as cf
 
+        # scan-level parallelism already saturates the cores: split the
+        # rasterizer's internal worker threads across the scan workers
+        # instead of oversubscribing workers x hardware_concurrency threads
+        if "NPHM_RASTER_THREADS" not in os.environ:
+            per = max(1, (os.cpu_count() or 1) // args.workers)
+            os.environ["NPHM_RASTER_THREADS"] = str(per)
+
         with cf.ThreadPoolExecutor(max_workers=args.workers) as ex:
             futs = [
                 ex.submit(
