@@ -276,7 +276,14 @@ def gen_render_samples(mesh: Mesh, n_views: int, scale: float = 4.0):
     copy) them before rendering another mesh.  Evaluation draws its sample
     subsets immediately, so this zero-copy contract saves two full passes
     over the ~150 MB of visible samples a production mesh produces."""
-    m = Mesh(mesh.vertices / scale, mesh.faces)
+    # Convert to the rasterizer's layout ONCE: load_mesh yields int64 faces,
+    # and the per-view ascontiguousarray(faces, int32) otherwise re-copies
+    # ~24 MB per view on a production 2M-face mesh (10x per mesh).  After
+    # this, every downstream ascontiguousarray call is a no-op view.
+    m = Mesh(
+        np.ascontiguousarray(mesh.vertices / scale, np.float32),
+        np.ascontiguousarray(mesh.faces, np.int32),
+    )
     # face normals are view-independent (and invariant to the uniform
     # scale): compute once for all n_views renders
     fn = native_face_normals(m)
