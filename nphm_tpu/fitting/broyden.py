@@ -99,6 +99,11 @@ def broyden(
         "result": final.x_best,
         "diff": final.best_norm,
         "valid_ids": final.best_norm < cvg_thresh,
+        # iterations actually executed before the early exit — the loop cost
+        # is data-dependent (cond ANYs `active` over all points), so this is
+        # the number that explains fit-step wall-clock differences between
+        # easy (rigid) and hard (spatially-varying) warps
+        "iters": final.it,
     }
 
 
@@ -177,7 +182,12 @@ def search(
     else:
         xc = result["result"].reshape(n_batch, n_point, 3)
         valid = result["valid_ids"].reshape(n_batch, n_point)
-    return xc, {"result": xc, "diff": result["diff"], "valid_ids": valid}
+    return xc, {
+        "result": xc,
+        "diff": result["diff"],
+        "valid_ids": valid,
+        "iters": result["iters"],
+    }
 
 
 def ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors):

@@ -166,7 +166,7 @@ def _masked_mean(values, mask):
 # fetch than the fit steps it describes.
 _JOINT_HIST_KEYS = (
     "loss", "n_valid", "reg_expr", "reg_global", "reg_loc",
-    "reg_unobserved", "surface", "symm_dist",
+    "reg_unobserved", "surface", "symm_dist", "broyden_iters",
 )
 _ID_HIST_KEYS = (
     "loss", "reg_global", "reg_loc", "reg_unobserved", "surface",
@@ -350,6 +350,11 @@ def _make_joint_loss(decoder_shape, decoder_expr, cfg: FittingConfig,
             loss = loss + lam_row[i] * terms[k]
         aux = dict(terms)
         aux["n_valid"] = jnp.sum(result["valid_ids"].astype(jnp.float32))
+        # executed (not budgeted) Broyden iterations this step: the search
+        # while_loop exits early once every point converges/diverges, so its
+        # cost is data-dependent — spatially-varying warps run closer to the
+        # budget than rigid ones
+        aux["broyden_iters"] = result["iters"].astype(jnp.float32)
         aux["xc_opt"] = xc_opt
         return loss, aux
 
@@ -488,20 +493,21 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
                     oe_s,
                     store_s,
                     loss,
+                    aux["broyden_iters"],
                 )
 
-            lat_s, lat_e, os_state, oe_state, store, losses = jax.vmap(
+            lat_s, lat_e, os_state, oe_state, store, losses, biters = jax.vmap(
                 per_subject
             )(lat_s, lat_e, padded, lens, n_obs, rngs, os_state, oe_state, store)
-            return (lat_s, lat_e, os_state, oe_state, store), losses
+            return (lat_s, lat_e, os_state, oe_state, store), (losses, biters)
 
         with jax.default_matmul_precision(cfg.matmul_precision):
-            (lat_s, lat_e, _, _, _), losses = jax.lax.scan(
+            (lat_s, lat_e, _, _, _), (losses, biters) = jax.lax.scan(
                 step,
                 (lat_shape, lat_expr, os_state, oe_state, store0),
                 jnp.arange(lr_arr.shape[0]),
             )
-        return lat_s, lat_e, losses
+        return lat_s, lat_e, losses, biters
 
     if mesh is None:
         block = scan_block
@@ -514,13 +520,13 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
             scan_block,
             mesh=mesh,
             in_specs=(D, D, D, D, D, D, D, D, R, R, R, R, R, R),
-            out_specs=(D, D, P(None, DATA_AXIS)),
+            out_specs=(D, D, P(None, DATA_AXIS), P(None, DATA_AXIS)),
             check_vma=False,  # pallas_call out_shape carries no vma
         )
 
     def run(*args):
-        lat_s, lat_e, losses = block(*args)
-        return (lat_s, lat_e), losses
+        lat_s, lat_e, losses, biters = block(*args)
+        return (lat_s, lat_e), (losses, biters)
 
     return jax.jit(run)
 
@@ -716,7 +722,7 @@ def fit_joint_batch(
     opt_expr_state = jax.vmap(adam.init)(lat_expr)
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    ((lat_shape, lat_expr), losses), elapsed = _run_with_xla_fallback(
+    ((lat_shape, lat_expr), (losses, biters)), elapsed = _run_with_xla_fallback(
         lambda c: _joint_batch_runner(
             decoder_shape, decoder_expr, c, lam_keys, mesh
         ),
@@ -728,11 +734,13 @@ def fit_joint_batch(
         mesh=mesh,
     )
     losses = losses[:, :S]
+    biters = biters[:, :S]
     if verbose:
         print(
             f"[fit_joint_batch] {S} subjects x {total} steps in {elapsed:.1f}s "
             f"({total / max(elapsed, 1e-9):.1f} it/s, "
-            f"{S * total / max(elapsed, 1e-9):.1f} subject-steps/s)"
+            f"{S * total / max(elapsed, 1e-9):.1f} subject-steps/s, "
+            f"mean Broyden iters {float(biters.mean()):.2f})"
         )
 
     lat_shape, lat_expr = lat_shape[:S], lat_expr[:S]
@@ -744,7 +752,7 @@ def fit_joint_batch(
     anchors_list = (
         [None] * S if anchors is None else [np.asarray(anchors[s : s + 1]) for s in range(S)]
     )
-    history = {"loss": losses, "elapsed_s": elapsed}
+    history = {"loss": losses, "broyden_iters": biters, "elapsed_s": elapsed}
     return lat_exprs, lat_shapes, anchors_list, history
 
 

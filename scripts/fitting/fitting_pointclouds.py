@@ -11,7 +11,9 @@ CLI-compatible with reference scripts/fitting/fitting_pointclouds.py:
 """
 
 import argparse
+import json
 import os
+import time
 
 import jax
 import numpy as np
@@ -151,6 +153,12 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
     )
 
     print("############ Starting Fitting ############")
+    # decomposed wall-clock of the protocol's fit phase (fit vs extract vs
+    # deform+export) — printed as one FIT_PHASE_TIMINGS JSON line at the end
+    # so protocol_e2e.py can record it (the r03 nonrigid run's 1213 s
+    # fit_extract_s was un-attributable without this)
+    timings = {"fit_s": 0.0, "extract_s": 0.0, "deform_export_s": 0.0}
+    biters = []
     fcfg = FittingConfig(
         n_steps=args.n_steps, step_scale=args.step_scale, seed=args.seed
     )
@@ -186,6 +194,7 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
 
         if not per_subj:
             continue
+        t_fit = time.time()
         if len(per_subj) > 1:
             # vmapped multi-subject fit: same per-subject recipe, one
             # compiled program, matmul batch x group_size
@@ -201,22 +210,42 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
                 per_subj[0][2], **fit_kw,
             )
             lat_exprs, lat_shapes, anchors_l = [le], [ls], [an]
+        timings["fit_s"] += time.time() - t_fit
+        for h in _h.get("histories", [_h]):
+            bi = h.get("broyden_iters")
+            if bi is not None:
+                biters.append(float(np.mean(np.asarray(bi))))
 
         for (subj, inds, _), lat_expr, lat_shape, anchors in zip(
             per_subj, lat_exprs, lat_shapes, anchors_l
         ):
-            _export_subject(
+            ex_s, de_s = _export_subject(
                 args, out_dir, decoder_shape, params_shape, decoder_expr,
                 params_expr, sdf_eval, def_eval, subj, inds, lat_expr,
                 lat_shape, anchors,
             )
+            timings["extract_s"] += ex_s
+            timings["deform_export_s"] += de_s
+    if biters:
+        timings["mean_broyden_iters"] = round(
+            float(np.mean(biters)), 3
+        )
+    print("FIT_PHASE_TIMINGS " + json.dumps(
+        {k: round(v, 1) if isinstance(v, float) else v
+         for k, v in timings.items()}
+    ))
 
 
 def _export_subject(args, out_dir, decoder_shape, params_shape, decoder_expr,
                     params_expr, sdf_eval, def_eval, subj, inds, lat_expr,
                     lat_shape, anchors):
+    """Extract + deform + export one fitted subject.
+
+    Returns ``(extract_s, deform_export_s)`` wall-clock so the caller can
+    decompose the fit phase."""
     from nphm_tpu.reconstruction.extract import _pallas_available, extract_mesh
 
+    t0 = time.time()
     if getattr(args, "sparse", False):
         # sparse two-pass extraction: O(surface) eval/transfer/marching.
         # Sound for eikonal-trained SDFs; -sparse_lip bounds |grad f|.
@@ -243,6 +272,8 @@ def _export_subject(args, out_dir, decoder_shape, params_shape, decoder_expr,
             decoder_shape, params_shape, lat_shape, GRID_MIN, GRID_MAX,
             args.resolution, chunk_size=args.batch_points, evaluator=sdf_eval,
         )
+    extract_s = time.time() - t0
+    t0 = time.time()
     meshes = deform_mesh_batch(
         mesh_can, decoder_expr, params_expr,
         [lat_expr[i][None] for i in range(len(inds))],
@@ -256,6 +287,7 @@ def _export_subject(args, out_dir, decoder_shape, params_shape, decoder_expr,
             lat_expr[i][None],
         )
     print(f"exported {len(inds)} expressions for subject {subj}")
+    return extract_s, time.time() - t0
 
 
 def main():

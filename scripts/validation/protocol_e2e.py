@@ -84,6 +84,12 @@ def main():
                     help="force subprocesses onto CPU (CI smoke)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims + few steps (CI smoke)")
+    ap.add_argument("--fit_subjects", type=int, default=0,
+                    help="fit only the first N test subjects (0 = all 23): "
+                         "bounded-cost diagnosis runs")
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="stop after the fit phase (no eval.py/gather.py): "
+                         "fit-phase diagnosis runs")
     ap.add_argument("--nonrigid", action="store_true",
                     help="non-rigid smooth-bump expression warps instead of "
                          "translations: exercises the deformation field and "
@@ -186,16 +192,26 @@ def main():
     fit_cfg_path = os.path.join(cfg_dir, "proto_fit.yaml")
     with open(fit_cfg_path, "w") as f:
         yaml.safe_dump(fit_cfg, f)
+    fit_args = [
+        "scripts/fitting/fitting_pointclouds.py", "-cfg_file", fit_cfg_path,
+        "-exp_name", "proto", "-exp_tag", "protocol",
+        "-batch_subjects", str(args.batch_subjects),
+        "-n_steps", str(args.fit_steps),
+        "-resolution", str(args.resolution),
+    ]
+    if args.fit_subjects:
+        fit_args += ["-subjects"] + [
+            str(s) for s in test_subjects[: args.fit_subjects]
+        ]
     t0 = time.time()
-    fit_out = _run(
-        ["scripts/fitting/fitting_pointclouds.py", "-cfg_file", fit_cfg_path,
-         "-exp_name", "proto", "-exp_tag", "protocol",
-         "-batch_subjects", str(args.batch_subjects),
-         "-n_steps", str(args.fit_steps),
-         "-resolution", str(args.resolution)],
-        env,
-    )
+    fit_out = _run(fit_args, env)
     out["fit_extract_s"] = round(time.time() - t0, 1)
+    # decomposed fit-phase timings (fit vs extract vs deform+export, plus
+    # mean executed Broyden iterations) printed by the fitting CLI
+    for line in fit_out.splitlines():
+        if line.startswith("FIT_PHASE_TIMINGS "):
+            for k, v in json.loads(line.split(" ", 1)[1]).items():
+                out[f"fit_phase_{k}"] = v
     result_dir = os.path.join(
         root, "fitting", "forward_proto", "protocol"
     )
@@ -207,6 +223,15 @@ def main():
     out["crashes"] = fit_out.count("fit failed")
 
     # --- phase 4: evaluation + gather ------------------------------------
+    if args.skip_eval:
+        out["total_s"] = round(time.time() - t_all, 1)
+        out["root"] = root if keep else "(temp, removed)"
+        if not keep:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+        print(json.dumps(out))
+        return
     t0 = time.time()
     _run(["scripts/evaluation/eval.py", "--result_dir", result_dir,
           "--num_samps", str(args.num_samps)], env, timeout=14400)
