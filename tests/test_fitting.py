@@ -58,6 +58,9 @@ def test_broyden_linear():
     out = broyden(g, x0, j_inv, max_steps=15)
     assert bool(out["valid_ids"].all())
     np.testing.assert_allclose(np.asarray(out["result"]), c, atol=1e-5)
+    # exact inverse Jacobian -> one Newton step: the early exit fires far
+    # below the 15-step budget, and the executed count is reported
+    assert 1 <= int(out["iters"]) <= 3
 
 
 def test_broyden_nonlinear_with_approx_jacobian():
