@@ -45,11 +45,22 @@ def broyden(
     cvg_thresh: float = 1e-6,
     dvg_thresh: float = 0.2,
     eps: float = 1e-6,
+    min_active: int = 0,
 ):
     """Solve g(x) = 0 per point.
 
     g: [P, 3] -> [P, 3] (point-wise residual).
-    Returns dict(result [P,3], diff [P], valid_ids [P] bool).
+    Returns dict(result [P,3], diff [P], valid_ids [P] bool, j_inv [P,3,3],
+    iters scalar).
+
+    ``min_active``: keep iterating only while MORE than this many points are
+    still active.  The default 0 is the reference's exact semantics
+    (``any(active)``, iterative_root_finding.py:39).  In production fits a
+    single straggler among thousands of points holds the early exit open for
+    the whole budget (measured: the exit never fires, PROTOCOL_r03_diag);
+    a small positive value stops paying whole-batch iterations for a
+    vanishing tail — stragglers simply fail the ``cvg_thresh`` validity test
+    exactly as they would after exhausting the budget.
     """
     x = jax.lax.stop_gradient(x_init)
     j_inv = jax.lax.stop_gradient(j_inv_init)
@@ -63,7 +74,11 @@ def broyden(
     )
 
     def cond(s: BroydenState):
-        return jnp.logical_and(s.it < max_steps, jnp.any(s.active))
+        if min_active > 0:
+            alive = jnp.sum(s.active) > min_active
+        else:
+            alive = jnp.any(s.active)
+        return jnp.logical_and(s.it < max_steps, alive)
 
     def body(s: BroydenState):
         m = s.active[:, None]
@@ -99,6 +114,11 @@ def broyden(
         "result": final.x_best,
         "diff": final.best_norm,
         "valid_ids": final.best_norm < cvg_thresh,
+        # the Broyden-refined inverse Jacobian at each point's last iterate —
+        # callers that revisit the same points (the warm-started fit loop)
+        # can resume the search from it instead of re-paying the autograd
+        # Jacobian init
+        "j_inv": final.j_inv,
         # iterations actually executed before the early exit — the loop cost
         # is data-dependent (cond ANYs `active` over all points), so this is
         # the number that explains fit-step wall-clock differences between
@@ -121,6 +141,8 @@ def search(
     dvg_thresh: float = 0.2,
     xc_init: Optional[jnp.ndarray] = None,
     identity_j_init: bool = False,
+    j_inv_init: Optional[jnp.ndarray] = None,
+    frac_exit: float = 0.0,
 ):
     """Posed -> canonical correspondences through the forward warp.
 
@@ -135,10 +157,21 @@ def search(
     g(x) = x + delta(x) - obs with a smallish deformation delta, so
     J ~= I and Broyden's rank-1 updates recover the rest — skipping three
     JVP warp evaluations per search.
+    ``j_inv_init``: optional [B, N, 3, 3] explicit inverse-Jacobian init
+    (e.g. the refined ``result["j_inv"]`` from an earlier search at the same
+    points — resuming the search instead of restarting it).  Takes
+    precedence over ``identity_j_init``; not supported under
+    ``multi_corresp``.
+    ``frac_exit``: stop the Broyden loop once at most this FRACTION of
+    points is still active (0.0 = reference ``any(active)`` semantics).
     Returns (xc [B, N(, I), 3], result dict) — mirrors reference
-    iterative_root_finding.py:91-168.
+    iterative_root_finding.py:91-168; the dict additionally carries
+    ``j_inv`` (refined inverse Jacobians, diverged points reset to I) and
+    ``iters`` (executed iterations).
     """
     n_batch, n_point, _ = obs.shape
+    if j_inv_init is not None and multi_corresp:
+        raise ValueError("j_inv_init is not supported with multi_corresp")
 
     if multi_corresp:
         assert rng is not None, "multi_corresp needs an rng for perturbed inits"
@@ -155,7 +188,9 @@ def search(
         delta, _ = decoder_expr.apply(params_expr, x, cond, anchors)
         return x + delta
 
-    if identity_j_init:
+    if j_inv_init is not None:
+        pass
+    elif identity_j_init:
         j_inv_init = jnp.broadcast_to(
             jnp.eye(3, dtype=xc_init.dtype), xc_init.shape[:-1] + (3, 3)
         )
@@ -167,6 +202,7 @@ def search(
         x = x_flat.reshape(n_batch, -1, 3)
         return (warp(x) - obs_rep).reshape(-1, 3)
 
+    n_total = xc_init.shape[0] * xc_init.shape[1]
     result = broyden(
         g,
         xc_init.reshape(-1, 3),
@@ -174,28 +210,47 @@ def search(
         max_steps=max_steps,
         cvg_thresh=cvg_thresh,
         dvg_thresh=dvg_thresh,
+        min_active=int(frac_exit * n_total),
     )
 
+    # refined J^-1 for warm resumption: diverged points get a fresh identity
+    # (their rank-1 history is following a garbage trajectory); unconverged
+    # stragglers KEEP theirs, so their search genuinely continues across fit
+    # steps instead of restarting
+    eye = jnp.eye(3, dtype=result["j_inv"].dtype)
+    j_inv_out = jnp.where(
+        (result["diff"] >= dvg_thresh)[:, None, None], eye, result["j_inv"]
+    )
     if multi_corresp:
         xc = result["result"].reshape(n_batch, n_point, n_inits, 3)
         valid = result["valid_ids"].reshape(n_batch, n_point, n_inits)
+        j_inv_out = j_inv_out.reshape(n_batch, n_point, n_inits, 3, 3)
     else:
         xc = result["result"].reshape(n_batch, n_point, 3)
         valid = result["valid_ids"].reshape(n_batch, n_point)
+        j_inv_out = j_inv_out.reshape(n_batch, n_point, 3, 3)
     return xc, {
         "result": xc,
         "diff": result["diff"],
         "valid_ids": valid,
+        "j_inv": j_inv_out,
         "iters": result["iters"],
     }
 
 
-def ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors):
+def ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors,
+                   j_inv=None):
     """Implicit-function-theorem gradient attachment at the found root.
 
     Returns ``xc`` whose *value* equals ``stop_grad(xc_opt)`` but whose
     gradients w.r.t. the latents flow as d xc = -J^-1 d warp(xc)
     (reference fitting.py:98-107).
+
+    ``j_inv``: optional [B, N, 3, 3] inverse Jacobian to use instead of
+    re-deriving the exact one with three JVPs (e.g. the Broyden-refined
+    ``result["j_inv"]`` from the search that produced ``xc_opt``).  The IFT
+    gradient then uses a secant APPROXIMATION of J^-1 — the exact autograd
+    Jacobian is the reference-faithful default.
     """
     xc_opt = jax.lax.stop_gradient(xc_opt)
 
@@ -204,8 +259,11 @@ def ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors):
         return x + delta
 
     preds_posed = warp(xc_opt)  # traced w.r.t. latents
-    j = jax.lax.stop_gradient(point_jacobian(warp, xc_opt))
-    j_inv = inv3x3(j)
+    if j_inv is None:
+        j = jax.lax.stop_gradient(point_jacobian(warp, xc_opt))
+        j_inv = inv3x3(j)
+    else:
+        j_inv = jax.lax.stop_gradient(j_inv)
     correction = preds_posed - jax.lax.stop_gradient(preds_posed)
     correction = jnp.einsum("bnij,bnj->bni", -j_inv, correction)
     return xc_opt + correction

@@ -114,6 +114,30 @@ class FittingConfig:
     # off: the autograd init is the reference-faithful choice and safer for
     # strongly deformed expressions.
     warm_identity_jacobian: bool = False
+    # Carry each point's Broyden-REFINED inverse Jacobian across fit steps in
+    # the warm store (alongside its root): the search resumes from last
+    # visit's J^-1 instead of re-paying the 3-JVP autograd Jacobian init
+    # every step (~0.8 ms of a ~4.7 ms step at production dims).  Diverged
+    # points reset to identity; the cold store init is identity, which the
+    # full 15-iteration first-step budget absorbs (the identity-init variant
+    # was already measured to match n_valid).  Only applies when
+    # warm_start_corresp is on; overrides warm_identity_jacobian.
+    warm_jacobian_store: bool = True
+    # Stop a Broyden search once at most this fraction of its points is
+    # still active.  0.0 = the reference's exact any(active) semantics.
+    # Production diagnosis (PROTOCOL_r03_diag): ONE straggler among 5000
+    # points holds the early exit open for the whole budget every step, so
+    # each fit step pays whole-batch iterations for a vanishing tail;
+    # stragglers cut off early simply fail the cvg validity test exactly as
+    # they would after exhausting the budget, and the warm store lets them
+    # resume next visit.
+    broyden_frac_exit: float = 0.0
+    # Inverse Jacobian used in the implicit-function-theorem gradient
+    # attachment at the found roots (reference fitting.py:98-107).  "exact"
+    # (reference-faithful default) re-derives it with three JVPs + a 3x3
+    # inverse every step; "broyden" reuses the search's refined secant
+    # J^-1 — an APPROXIMATE IFT gradient that skips those JVPs.
+    ift_jacobian: str = "exact"
 
     @property
     def total_steps(self) -> int:
@@ -296,17 +320,18 @@ def _make_joint_loss(decoder_shape, decoder_expr, cfg: FittingConfig,
     correction -> clamped |sdf| + regularizers).
 
     Returns ``loss_fn(lat_s, lat_e, params_shape, params_expr, padded,
-    lam_row, clamp_j, sel, idx, xc0, broyden_steps) -> (loss, aux)`` with
-    ``aux = {**terms, "n_valid", "xc_opt"}``.  Callers that only consume a
-    subset of ``aux`` (the batched runner keeps just loss + xc_opt) pay
-    nothing extra: unused aux outputs are dead-code-eliminated by XLA.
+    lam_row, clamp_j, sel, idx, xc0, jinv0, broyden_steps) -> (loss, aux)``
+    with ``aux = {**terms, "n_valid", "xc_opt", "j_inv"}``.  Callers that
+    only consume a subset of ``aux`` (the batched runner keeps just loss +
+    xc_opt) pay nothing extra: unused aux outputs are dead-code-eliminated
+    by XLA.
     """
     nb = cfg.n_obs_per_batch
     use_anchors = decoder_shape.lat_dim_glob is not None
     warm = cfg.warm_start_corresp
 
     def loss_fn(lat_s, lat_e, params_shape, params_expr, padded,
-                lam_row, clamp_j, sel, idx, xc0, broyden_steps):
+                lam_row, clamp_j, sel, idx, xc0, jinv0, broyden_steps):
         _, anchors = decoder_shape.apply(
             params_shape,
             jnp.zeros((1, 1, 3)),
@@ -329,8 +354,13 @@ def _make_joint_loss(decoder_shape, decoder_expr, cfg: FittingConfig,
             dvg_thresh=cfg.broyden_dvg,
             xc_init=xc0,
             identity_j_init=warm and cfg.warm_identity_jacobian,
+            j_inv_init=jinv0,
+            frac_exit=cfg.broyden_frac_exit,
         )
-        xc = ift_correction(decoder_expr, params_expr, xc_opt, cond, anchors_b)
+        xc = ift_correction(
+            decoder_expr, params_expr, xc_opt, cond, anchors_b,
+            j_inv=result["j_inv"] if cfg.ift_jacobian == "broyden" else None,
+        )
         lat_b = jnp.broadcast_to(lat_s, (nb, lat_s.shape[-1]))
         if fused_fields is not None:
             sdf = fused_fields(params_shape, xc, lat_b)
@@ -356,6 +386,7 @@ def _make_joint_loss(decoder_shape, decoder_expr, cfg: FittingConfig,
         # budget than rigid ones
         aux["broyden_iters"] = result["iters"].astype(jnp.float32)
         aux["xc_opt"] = xc_opt
+        aux["j_inv"] = result["j_inv"]
         return loss, aux
 
     return loss_fn
@@ -380,12 +411,21 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
     )
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
+    warm_j = warm and cfg.warm_jacobian_store
+
     def run(lat_shape, lat_expr, os_state, oe_state, params_shape, params_expr,
             padded, lens, n_obs, base_key, lr_arr, lam_mat, clamp_arr):
         store0 = padded if warm else jnp.zeros((1,))
+        storej0 = (
+            jnp.broadcast_to(
+                jnp.eye(3, dtype=padded.dtype), padded.shape[:2] + (3, 3)
+            )
+            if warm_j
+            else jnp.zeros((1,))
+        )
 
         def step(carry, j):
-            lat_s, lat_e, os_state, oe_state, store = carry
+            lat_s, lat_e, os_state, oe_state, store, store_j = carry
             rng = jax.random.fold_in(base_key, j)
             k1, k2 = jax.random.split(rng)
             sel = jax.random.randint(k1, (nb,), 0, n_obs)
@@ -397,13 +437,23 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
                 )
             else:
                 xc0, bsteps = None, cfg.broyden_max_steps
+            jinv0 = (
+                jnp.take_along_axis(
+                    store_j[sel], idx[:, :, None, None], axis=1
+                )
+                if warm_j
+                else None
+            )
             (loss, aux), (g_s, g_e) = grad_fn(
                 lat_s, lat_e, params_shape, params_expr, padded,
-                lam_mat[:, j], clamp_arr[j], sel, idx, xc0, bsteps,
+                lam_mat[:, j], clamp_arr[j], sel, idx, xc0, jinv0, bsteps,
             )
             xc_opt = aux.pop("xc_opt")
+            j_inv = aux.pop("j_inv")
             if warm:
                 store = store.at[sel[:, None], idx].set(xc_opt)
+            if warm_j:
+                store_j = store_j.at[sel[:, None], idx].set(j_inv)
             lr = lr_arr[j]
             upd_s, os_state = adam.update(g_s, os_state, lat_s)
             lat_s = jax.tree_util.tree_map(
@@ -415,12 +465,12 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
             )
             aux["loss"] = loss
             hist = jnp.stack([aux[k] for k in _JOINT_HIST_KEYS])
-            return (lat_s, lat_e, os_state, oe_state, store), hist
+            return (lat_s, lat_e, os_state, oe_state, store, store_j), hist
 
         with jax.default_matmul_precision(cfg.matmul_precision):
-            (lat_s, lat_e, _, _, _), history = jax.lax.scan(
+            (lat_s, lat_e, *_), history = jax.lax.scan(
                 step,
-                (lat_shape, lat_expr, os_state, oe_state, store0),
+                (lat_shape, lat_expr, os_state, oe_state, store0, storej0),
                 jnp.arange(lr_arr.shape[0]),
             )
         return (lat_s, lat_e), history
@@ -449,15 +499,24 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
     )
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
+    warm_j = warm and cfg.warm_jacobian_store
+
     def scan_block(lat_shape, lat_expr, os_state, oe_state, padded, lens,
                    n_obs, subj_idx, params_shape, params_expr, base_key,
                    lr_arr, lam_mat, clamp_arr):
         """Fit a block of subjects: the whole batch, or one device's shard
         when running under ``shard_map``."""
         store0 = padded if warm else jnp.zeros((lat_shape.shape[0], 1))
+        storej0 = (
+            jnp.broadcast_to(
+                jnp.eye(3, dtype=padded.dtype), padded.shape[:3] + (3, 3)
+            )
+            if warm_j
+            else jnp.zeros((lat_shape.shape[0], 1))
+        )
 
         def step(carry, j):
-            lat_s, lat_e, os_state, oe_state, store = carry
+            lat_s, lat_e, os_state, oe_state, store, store_j = carry
             rngs = jax.vmap(
                 lambda s: jax.random.fold_in(jax.random.fold_in(base_key, j), s)
             )(subj_idx)
@@ -469,7 +528,7 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
             )
 
             def per_subject(lat_s_s, lat_e_s, pad_s, len_s, n_s, rng_s, os_s,
-                            oe_s, store_s):
+                            oe_s, store_s, store_j_s):
                 k1, k2 = jax.random.split(rng_s)
                 sel = jax.random.randint(k1, (nb,), 0, n_s)
                 idx = jax.random.randint(k2, (nb, npp), 0, len_s[sel][:, None])
@@ -478,12 +537,23 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
                     if warm
                     else None
                 )
+                jinv0 = (
+                    jnp.take_along_axis(
+                        store_j_s[sel], idx[:, :, None, None], axis=1
+                    )
+                    if warm_j
+                    else None
+                )
                 (loss, aux), (g_s, g_e) = grad_fn(
                     lat_s_s, lat_e_s, params_shape, params_expr, pad_s,
-                    lam_mat[:, j], clamp_arr[j], sel, idx, xc0, bsteps,
+                    lam_mat[:, j], clamp_arr[j], sel, idx, xc0, jinv0, bsteps,
                 )
                 if warm:
                     store_s = store_s.at[sel[:, None], idx].set(aux["xc_opt"])
+                if warm_j:
+                    store_j_s = store_j_s.at[sel[:, None], idx].set(
+                        aux["j_inv"]
+                    )
                 upd_s, os_s = adam.update(g_s, os_s, lat_s_s)
                 upd_e, oe_s = adam.update(g_e, oe_s, lat_e_s)
                 return (
@@ -492,19 +562,25 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
                     os_s,
                     oe_s,
                     store_s,
+                    store_j_s,
                     loss,
                     aux["broyden_iters"],
                 )
 
-            lat_s, lat_e, os_state, oe_state, store, losses, biters = jax.vmap(
-                per_subject
-            )(lat_s, lat_e, padded, lens, n_obs, rngs, os_state, oe_state, store)
-            return (lat_s, lat_e, os_state, oe_state, store), (losses, biters)
+            (lat_s, lat_e, os_state, oe_state, store, store_j, losses,
+             biters) = jax.vmap(per_subject)(
+                lat_s, lat_e, padded, lens, n_obs, rngs, os_state, oe_state,
+                store, store_j,
+            )
+            return (
+                (lat_s, lat_e, os_state, oe_state, store, store_j),
+                (losses, biters),
+            )
 
         with jax.default_matmul_precision(cfg.matmul_precision):
-            (lat_s, lat_e, _, _, _), (losses, biters) = jax.lax.scan(
+            (lat_s, lat_e, *_), (losses, biters) = jax.lax.scan(
                 step,
-                (lat_shape, lat_expr, os_state, oe_state, store0),
+                (lat_shape, lat_expr, os_state, oe_state, store0, storej0),
                 jnp.arange(lr_arr.shape[0]),
             )
         return lat_s, lat_e, losses, biters

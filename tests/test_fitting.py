@@ -78,6 +78,87 @@ def test_broyden_nonlinear_with_approx_jacobian():
     assert np.linalg.norm(res[np.asarray(out["valid_ids"])], axis=-1).max() < 1e-5
 
 
+def test_broyden_min_active_skips_straggler_tail():
+    """min_active > 0 stops paying whole-batch iterations for a vanishing
+    tail: easy points converge identically, the impossible straggler just
+    fails the cvg validity test earlier (same outcome as after a full
+    budget)."""
+
+    def g(x):
+        # rows 0..P-2: nearly-linear, converge in a couple of iterations;
+        # row P-1: |sin| term keeps a residual floor of 1 -> never converges
+        base = x + 0.1 * jnp.sin(x[:, ::-1]) - 0.5
+        hard = jnp.zeros((x.shape[0], 1)).at[-1].set(1.0)
+        return base + hard * (1.0 + jnp.abs(jnp.sin(x[:, :1] * 50)))
+
+    P = 64
+    x0 = jnp.zeros((P, 3))
+    j_inv = jnp.broadcast_to(jnp.eye(3), (P, 3, 3))
+    ref = broyden(g, x0, j_inv, max_steps=25, dvg_thresh=100.0)
+    cut = broyden(g, x0, j_inv, max_steps=25, dvg_thresh=100.0, min_active=1)
+    assert int(ref["iters"]) == 25  # the straggler holds the exit open
+    assert int(cut["iters"]) < int(ref["iters"])
+    np.testing.assert_array_equal(
+        np.asarray(ref["valid_ids"]), np.asarray(cut["valid_ids"])
+    )
+    v = np.asarray(ref["valid_ids"])
+    np.testing.assert_allclose(
+        np.asarray(ref["result"])[v], np.asarray(cut["result"])[v], atol=1e-5
+    )
+
+
+def test_search_resumes_from_returned_jacobian():
+    """A second search at the same points, warm-started with the refined
+    ``j_inv`` from the first, must converge without the autograd Jacobian
+    init (the warm_jacobian_store fit-loop contract)."""
+    warp = SmoothWarp()
+    lat = jnp.asarray([[0.2, -0.1, 0.15]])
+    xc_true = jax.random.normal(jax.random.PRNGKey(2), (1, 40, 3)) * 0.5
+    delta, _ = warp.apply(None, xc_true, lat)
+    obs = xc_true + delta
+
+    _, first = search(warp, None, obs, lat, None)
+    assert first["j_inv"].shape == (1, 40, 3, 3)
+    # perturb the latents slightly (as consecutive fit steps do) and resume
+    lat2 = lat + 0.01
+    delta2, _ = warp.apply(None, xc_true, lat2)
+    obs2 = xc_true + delta2
+    xc, second = search(
+        warp, None, obs2, lat2, None,
+        xc_init=first["result"], j_inv_init=first["j_inv"], max_steps=5,
+    )
+    assert float(second["valid_ids"].mean()) > 0.95
+    err = np.linalg.norm(np.asarray(xc - xc_true), axis=-1)
+    assert err[np.asarray(second["valid_ids"])].max() < 1e-4
+
+
+def test_search_j_inv_resets_diverged_points_to_identity():
+    """Diverged points must come back with an identity J^-1 (their rank-1
+    history is following a garbage trajectory)."""
+
+    @dataclasses.dataclass(frozen=True)
+    class FlipWarp:
+        # delta(x) = -2x + t  =>  g(x) = -(x + obs) + t: true J = -I, so an
+        # identity-init Newton step moves AWAY from the root and the search
+        # trips the divergence cull immediately
+        lat_dim: int = 3
+
+        def apply(self, params, xyz, lat, anchors=None, **_):
+            return -2.0 * xyz + lat[:, None, :], None
+
+    warp = FlipWarp()
+    obs = jnp.ones((1, 8, 3)) * 2.0
+    _, res = search(
+        warp, None, obs, jnp.zeros((1, 3)), None, identity_j_init=True
+    )
+    assert not bool(np.asarray(res["valid_ids"]).any())
+    assert (np.asarray(res["diff"]) >= 0.2).all()
+    j = np.asarray(res["j_inv"])
+    np.testing.assert_array_equal(
+        j, np.broadcast_to(np.eye(3, dtype=j.dtype), j.shape)
+    )
+
+
 @pytest.mark.parametrize("multi", [False, True])
 def test_search_finds_correspondences(multi):
     warp = SmoothWarp()
@@ -150,13 +231,24 @@ def test_fit_identity_recovers_radius():
     assert hist["loss"][-1] < hist["loss"][5]
 
 
-@pytest.mark.parametrize("warm", [True, False])
+@pytest.mark.parametrize(
+    "warm",
+    [
+        dict(warm_start_corresp=True),  # default: warm roots + warm J store
+        dict(warm_start_corresp=True, warm_jacobian_store=False),
+        dict(warm_start_corresp=True, broyden_frac_exit=0.002),
+        dict(warm_start_corresp=True, ift_jacobian="broyden"),
+        dict(warm_start_corresp=False),  # reference cold re-init
+    ],
+    ids=["warm+jstore", "warm", "warm+frac_exit", "warm+ift_broyden", "cold"],
+)
 def test_fit_joint_recovers_shape_and_translation(warm):
     """Observations are translated spheres; fit must find radius + per-obs t.
 
     Parametrized over warm-started vs reference cold-started Broyden
-    correspondences (FittingConfig.warm_start_corresp): both must converge
-    to the same solution."""
+    correspondences (FittingConfig.warm_start_corresp), the carried
+    inverse-Jacobian store, and the fraction-based early exit: all must
+    converge to the same solution."""
     shape = SphereDecoder(r0=0.5, lat_dim=4)
     warp = SmoothWarp(amp=0.0, lat_dim=3)  # pure per-obs translation
 
@@ -170,7 +262,7 @@ def test_fit_joint_recovers_shape_and_translation(warm):
         obs.append(d * r_true + t_true[k])
 
     cfg = FittingConfig(n_steps=400, n_obs_per_batch=3, n_points_per_obs=500,
-                        log_every=1000, warm_start_corresp=warm)
+                        log_every=1000, **warm)
     lat_e, lat_s, _anchors, hist = fit_joint(
         shape, None, warp, None, obs,
         lambdas={"surface": 2.0, "reg_expr": 1e-4, "reg_global": 1e-4},
