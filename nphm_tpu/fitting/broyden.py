@@ -119,6 +119,13 @@ def broyden(
         # can resume the search from it instead of re-paying the autograd
         # Jacobian init
         "j_inv": final.j_inv,
+        # final per-point loop state: True for stragglers still iterating at
+        # exit (budget exhausted or frac_exit fired).  A point with
+        # active=False and valid_ids=False was deactivated by DIVERGENCE
+        # (its last gx_norm crossed dvg_thresh) — its rank-1 J^-1 history is
+        # garbage even when an earlier iterate once dipped below dvg_thresh,
+        # which best_norm alone cannot distinguish.
+        "active": final.active,
         # iterations actually executed before the early exit — the loop cost
         # is data-dependent (cond ANYs `active` over all points), so this is
         # the number that explains fit-step wall-clock differences between
@@ -203,6 +210,9 @@ def search(
         return (warp(x) - obs_rep).reshape(-1, 3)
 
     n_total = xc_init.shape[0] * xc_init.shape[1]
+    # a sub-1/n_total fraction must still exit on the FIRST straggler, not
+    # silently revert to any(active) semantics (floor-to-zero surprise)
+    min_active = max(1, int(frac_exit * n_total)) if frac_exit > 0 else 0
     result = broyden(
         g,
         xc_init.reshape(-1, 3),
@@ -210,17 +220,19 @@ def search(
         max_steps=max_steps,
         cvg_thresh=cvg_thresh,
         dvg_thresh=dvg_thresh,
-        min_active=int(frac_exit * n_total),
+        min_active=min_active,
     )
 
     # refined J^-1 for warm resumption: diverged points get a fresh identity
     # (their rank-1 history is following a garbage trajectory); unconverged
     # stragglers KEEP theirs, so their search genuinely continues across fit
-    # steps instead of restarting
+    # steps instead of restarting.  "Diverged" is the FINAL loop state
+    # (deactivated without converging), not best_norm >= dvg_thresh: a point
+    # whose residual first dips below dvg_thresh and then blows up has a
+    # small best_norm but a corrupted J^-1 all the same.
+    diverged = jnp.logical_and(~result["active"], ~result["valid_ids"])
     eye = jnp.eye(3, dtype=result["j_inv"].dtype)
-    j_inv_out = jnp.where(
-        (result["diff"] >= dvg_thresh)[:, None, None], eye, result["j_inv"]
-    )
+    j_inv_out = jnp.where(diverged[:, None, None], eye, result["j_inv"])
     if multi_corresp:
         xc = result["result"].reshape(n_batch, n_point, n_inits, 3)
         valid = result["valid_ids"].reshape(n_batch, n_point, n_inits)

@@ -159,6 +159,42 @@ def test_search_j_inv_resets_diverged_points_to_identity():
     )
 
 
+def test_search_j_inv_resets_dip_then_diverge_points():
+    """A point whose residual first dips BELOW dvg_thresh and then blows up
+    must also come back with identity J^-1: the reset is keyed on the final
+    loop state (deactivated-but-not-converged), not on best_norm, which
+    records the early dip and would mask the corrupted Jacobian history
+    (ADVICE r3, medium)."""
+
+    @dataclasses.dataclass(frozen=True)
+    class ExpandWarp:
+        # delta(x) = -21x  =>  g(x) = -20x - obs.  With x0 = obs and an
+        # identity-J init the first Newton step lands at x1 = x0 - g(x0),
+        # where g(x1) = 21*g(x0): the initial residual (|g0| = 0.15, below
+        # dvg_thresh=0.2) becomes 3.15 and the point is culled as diverged
+        # at iteration 1 with best_norm = 0.15 still below dvg_thresh.
+        lat_dim: int = 3
+
+        def apply(self, params, xyz, lat, anchors=None, **_):
+            return -21.0 * xyz + lat[:, None, :], None
+
+    warp = ExpandWarp()
+    # obs with per-point norm 0.15/21 so |g(x0)| = |-21*obs| = 0.15
+    v = np.array([1.0, 0.0, 0.0]) * (0.15 / 21.0)
+    obs = jnp.asarray(np.broadcast_to(v, (1, 8, 3)).copy(), jnp.float32)
+    _, res = search(
+        warp, None, obs, jnp.zeros((1, 3)), None, identity_j_init=True
+    )
+    assert not bool(np.asarray(res["valid_ids"]).any())
+    # best_norm sits below dvg_thresh — the old best_norm-keyed reset would
+    # have kept the corrupted J^-1 here
+    assert (np.asarray(res["diff"]) < 0.2).all()
+    j = np.asarray(res["j_inv"])
+    np.testing.assert_array_equal(
+        j, np.broadcast_to(np.eye(3, dtype=j.dtype), j.shape)
+    )
+
+
 @pytest.mark.parametrize("multi", [False, True])
 def test_search_finds_correspondences(multi):
     warp = SmoothWarp()
