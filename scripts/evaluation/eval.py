@@ -78,6 +78,14 @@ def _face_valid(points, face_verts, face_normals, kdtree):
 
 def sample_surface_points(mesh, mesh_flame, face_idx, num_samps, rng):
     samps, samps_normals = gen_render_samples(mesh, 10)
+    if len(samps) == 0:
+        # Empty/invisible prediction (e.g. an untrained model whose SDF has
+        # no zero crossing): score a far-away sentinel so the scan records
+        # a terrible-but-finite metric instead of crashing the protocol
+        # (the reference would crash here; gather.py-style skip semantics).
+        print("WARNING: mesh rendered no samples; scoring a far sentinel")
+        samps = np.full((1, 3), 1e3, np.float32)
+        samps_normals = np.array([[1.0, 0.0, 0.0]], np.float32)
     keep = _slice_indices(mesh_flame, samps)
     if keep.size == 0:  # whole mesh below the chin plane: degenerate input
         print("WARNING: no samples above the chin plane; using all samples")

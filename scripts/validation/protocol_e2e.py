@@ -27,7 +27,14 @@ Pipeline (all through the public CLI surface):
 Usage:  python scripts/validation/protocol_e2e.py [--fit_steps 1000]
             [--resolution 256] [--batch_subjects 8] [--num_samps 50000]
             [--train_epochs 151] [--def_epochs 151] [--n_expressions 6]
-            [--root DIR] [--tiny] [--nonrigid]
+            [--root DIR] [--tiny] [--nonrigid] [--family nphm|npm]
+
+``--family npm`` runs the same protocol for the reference's second
+published model family (README.md:199-209): ``npm.yaml`` global DeepSDF
+identity trained via ``train.py`` WITHOUT ``-local``, an npm-mode
+DeepSDF(512+200 -> 3) offsets field via ``train_corresp.py -mode npm``
+(reference scripts/training/train_corresp.py:71-78), and joint fitting
+with a ``local_shape: false`` config (configs/fitting_npm.yaml shape).
 
 Quality context: the models are QUICK-trained (hundreds of steps, not the
 reference's 30001 epochs), so absolute Chamfer is not comparable to
@@ -95,6 +102,13 @@ def main():
                          "translations: exercises the deformation field and "
                          "the Broyden posed->canonical search on spatially-"
                          "varying warps at protocol scale")
+    ap.add_argument("--family", choices=("nphm", "npm"), default="nphm",
+                    help="model family: the flagship NPHM local ensemble, or "
+                         "the NPM global DeepSDF baseline (reference "
+                         "README.md:199-209 publishes both) — npm selects "
+                         "configs/npm*.yaml, train.py without -local, "
+                         "train_corresp.py -mode npm, and a "
+                         "local_shape:false fitting config")
     args = ap.parse_args()
 
     from nphm_tpu import env_paths
@@ -136,21 +150,34 @@ def main():
         with open(os.path.join(REPO, "configs", name)) as f:
             return yaml.safe_load(f)
 
-    id_cfg = load_cfg("nphm.yaml")
-    def_cfg = load_cfg("nphm_def.yaml")
+    nphm = args.family == "nphm"
+    out["family"] = args.family
+    id_cfg = load_cfg("nphm.yaml" if nphm else "npm.yaml")
+    def_cfg = load_cfg("nphm_def.yaml" if nphm else "npm_def.yaml")
     bs = min(args.n_train_subjects, 32)
     epochs, def_epochs = args.train_epochs, args.def_epochs
     if args.tiny:
-        # nloc stays 39: the dummy assets ship 39 mean anchors
-        id_cfg["decoder"].update(
-            decoder_lat_dim_glob=8, decoder_lat_dim_loc=4,
-            decoder_hidden_dim=16,
-        )
-        def_cfg["ex_decoder"].update(
-            decoder_hidden_dim=32, decoder_lat_dim_expr=8,
-            decoder_lat_dim_id=8,
-        )
-        def_cfg["id_decoder"] = dict(id_cfg["decoder"], pos_mlp_dim=16)
+        if nphm:
+            # nloc stays 39: the dummy assets ship 39 mean anchors
+            id_cfg["decoder"].update(
+                decoder_lat_dim_glob=8, decoder_lat_dim_loc=4,
+                decoder_hidden_dim=16,
+            )
+            def_cfg["ex_decoder"].update(
+                decoder_hidden_dim=32, decoder_lat_dim_expr=8,
+                decoder_lat_dim_id=8,
+            )
+            def_cfg["id_decoder"] = dict(id_cfg["decoder"], pos_mlp_dim=16)
+        else:
+            id_cfg["decoder"].update(
+                decoder_lat_dim=16, decoder_hidden_dim=32, decoder_nlayers=4,
+            )
+            def_cfg["ex_decoder"].update(
+                decoder_lat_dim=8, decoder_hidden_dim=32, decoder_nlayers=4,
+            )
+            def_cfg["id_decoder"] = dict(
+                decoder_lat_dim=16, decoder_hidden_dim=32,
+            )
         epochs, def_epochs = 3, 3
     recon_res = 64 if args.tiny else 128  # log_recs cost, not the protocol's
     id_cfg["training"].update(
@@ -174,18 +201,20 @@ def main():
 
     t0 = time.time()
     _run(["scripts/training/train.py", "-exp_name", "proto_id",
-          "-cfg_file", id_cfg_path, "-local"], env)
+          "-cfg_file", id_cfg_path] + (["-local"] if nphm else []), env)
     out["train_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     _run(["scripts/training/train_corresp.py", "-exp_name", "proto_def",
-          "-cfg_file", def_cfg_path, "-mode", "compress"], env)
+          "-cfg_file", def_cfg_path,
+          "-mode", "compress" if nphm else "npm"], env)
     out["def_train_s"] = round(time.time() - t0, 1)
 
     # --- phase 3: the 23-subject batched fit + extraction + deformation --
     fit_cfg = {
         "exp_name_shape": "proto_id",
         "checkpoint_shape": max(epochs - 1, 1),
-        "mode": "compress", "local_shape": True, "local_expr": False,
+        "mode": "compress" if nphm else "npm",
+        "local_shape": nphm, "local_expr": False,
         "exp_name_expr": "proto_def",
         "checkpoint_expr": max(def_epochs - 1, 1),
     }
