@@ -489,17 +489,42 @@ def main():
             rng.normal(size=(2500, 3)).astype(np.float32) * 0.3
             for _ in range(20)
         ]
-        # 1000 = the reference protocol's step count; short fits are
-        # dominated by ~0.5 s of per-call overhead (obs transfer through
-        # the relay + output materialization) and under-report it/s
+        # 1000 = the reference protocol's step count.  Two rates are
+        # reported so the artifact is self-describing (VERDICT r3 item 7):
+        #   fit_iters_per_s        — overhead-INCLUSIVE (n_fit / wall of one
+        #                            call: counts ~0.5 s relay/obs-transfer/
+        #                            output-materialization per call)
+        #   fit_iters_per_s_steady — marginal rate from two call sizes,
+        #                            (n_big - n_small) / (t_big - t_small):
+        #                            the per-step cost with the fixed
+        #                            per-call overhead differenced away;
+        #                            this is the number README/CLAUDE.md
+        #                            headline (214 it/s class)
+        #   fit_call_overhead_s    — the implied fixed per-call cost
         n_fit = int(os.environ.get("BENCH_FIT_STEPS", 1000))
+        n_small = max(50, n_fit // 5)
         fc = FittingConfig(n_steps=n_fit, log_every=100000)
+        fc_small = FittingConfig(n_steps=n_small, log_every=100000)
+        # warm both compiled step counts
         fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)
+        fit_joint(
+            decoder, params, expr, p_expr, obs, cfg=fc_small, verbose=False
+        )
         t0 = time.perf_counter()
         fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)
-        extra["fit_iters_per_s"] = round(
-            n_fit / (time.perf_counter() - t0), 2
+        t_big = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fit_joint(
+            decoder, params, expr, p_expr, obs, cfg=fc_small, verbose=False
         )
+        t_small = time.perf_counter() - t0
+        extra["fit_iters_per_s"] = round(n_fit / t_big, 2)
+        if n_fit > n_small and t_big > t_small:
+            per_step = (t_big - t_small) / (n_fit - n_small)
+            extra["fit_iters_per_s_steady"] = round(1.0 / per_step, 2)
+            extra["fit_call_overhead_s"] = round(
+                max(0.0, t_small - n_small * per_step), 3
+            )
 
     if os.environ.get("BENCH_NO_FIT") != "1":
         _guard(extra, "fit", leg_fit, optional=True)

@@ -391,6 +391,9 @@ class IdentityTrainer:
             self.logger.print(msg)
             avg.update({f"val_{k}": v for k, v in val.items()})
             avg.update(self._timer.metrics())
+            # effective LRs in the log: the epoch-1000 latent decay gate
+            # (reference training.py:100-104) is observable in artifacts
+            avg.update({"lr": float(lr), "lr_lat": float(lr_lat)})
             self.logger.log(avg, step=epoch)
 
     def _run_train_step(self, batch, lr, lr_lat):

@@ -292,6 +292,7 @@ class DeformationTrainer:
                 msg += f" {k} {avg[k]:.6f}/{val.get(k, float('nan')):.6f}"
             self.logger.print(msg)
             avg.update({f"val_{k}": v for k, v in val.items()})
+            avg.update({"lr": float(lr), "lr_lat": float(lr_lat)})
             self.logger.log(avg, step=epoch)
 
     def compute_val_loss(self, lr_lat):

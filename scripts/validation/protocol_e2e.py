@@ -102,6 +102,16 @@ def main():
                          "translations: exercises the deformation field and "
                          "the Broyden posed->canonical search on spatially-"
                          "varying warps at protocol scale")
+    ap.add_argument("--reuse_root", action="store_true",
+                    help="skip dataset generation and training when --root "
+                         "already holds them (same-checkpoint fit/eval A/Bs)")
+    ap.add_argument("--exp_tag", type=str, default="protocol",
+                    help="fitting output tag (variant runs under one root "
+                         "get distinct result dirs)")
+    ap.add_argument("--fit_args", type=str, default="",
+                    help="extra args appended verbatim to the fitting CLI, "
+                         "e.g. '-ift_jacobian broyden -broyden_frac_exit "
+                         "0.002' (Broyden variant A/Bs)")
     ap.add_argument("--family", choices=("nphm", "npm"), default="nphm",
                     help="model family: the flagship NPHM local ensemble, or "
                          "the NPM global DeepSDF baseline (reference "
@@ -127,12 +137,16 @@ def main():
     eval_subjects = list(env_paths.subjects_eval[:2])
     test_subjects = list(env_paths.subjects_test)
     all_subjects = train_subjects + eval_subjects + test_subjects
-    generate_dummy_data(
-        root, subjects=tuple(all_subjects),
-        n_expressions=args.n_expressions,
-        n_supervision=100000 if not args.tiny else 20000,
-        expression_mode="nonrigid" if args.nonrigid else "translate",
-    )
+    reuse = args.reuse_root and os.path.isdir(os.path.join(root, "dataset"))
+    if reuse:
+        print(f"Reusing dataset + checkpoints under {root}")
+    else:
+        generate_dummy_data(
+            root, subjects=tuple(all_subjects),
+            n_expressions=args.n_expressions,
+            n_supervision=100000 if not args.tiny else 20000,
+            expression_mode="nonrigid" if args.nonrigid else "translate",
+        )
     out["expression_mode"] = "nonrigid" if args.nonrigid else "translate"
     env = dict(os.environ)
     env.update(dummy_env(root))
@@ -199,35 +213,38 @@ def main():
     with open(def_cfg_path, "w") as f:
         yaml.safe_dump(def_cfg, f)
 
-    t0 = time.time()
-    _run(["scripts/training/train.py", "-exp_name", "proto_id",
-          "-cfg_file", id_cfg_path] + (["-local"] if nphm else []), env)
-    out["train_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    _run(["scripts/training/train_corresp.py", "-exp_name", "proto_def",
-          "-cfg_file", def_cfg_path,
-          "-mode", "compress" if nphm else "npm"], env)
-    out["def_train_s"] = round(time.time() - t0, 1)
+    if not reuse:
+        t0 = time.time()
+        _run(["scripts/training/train.py", "-exp_name", "proto_id",
+              "-cfg_file", id_cfg_path] + (["-local"] if nphm else []), env)
+        out["train_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        _run(["scripts/training/train_corresp.py", "-exp_name", "proto_def",
+              "-cfg_file", def_cfg_path,
+              "-mode", "compress" if nphm else "npm"], env)
+        out["def_train_s"] = round(time.time() - t0, 1)
 
     # --- phase 3: the 23-subject batched fit + extraction + deformation --
     fit_cfg = {
         "exp_name_shape": "proto_id",
-        "checkpoint_shape": max(epochs - 1, 1),
+        # on --reuse_root, autodiscover the latest checkpoint (the reused
+        # tree's epoch count need not match this invocation's --train_epochs)
+        "checkpoint_shape": None if reuse else max(epochs - 1, 1),
         "mode": "compress" if nphm else "npm",
         "local_shape": nphm, "local_expr": False,
         "exp_name_expr": "proto_def",
-        "checkpoint_expr": max(def_epochs - 1, 1),
+        "checkpoint_expr": None if reuse else max(def_epochs - 1, 1),
     }
     fit_cfg_path = os.path.join(cfg_dir, "proto_fit.yaml")
     with open(fit_cfg_path, "w") as f:
         yaml.safe_dump(fit_cfg, f)
     fit_args = [
         "scripts/fitting/fitting_pointclouds.py", "-cfg_file", fit_cfg_path,
-        "-exp_name", "proto", "-exp_tag", "protocol",
+        "-exp_name", "proto", "-exp_tag", args.exp_tag,
         "-batch_subjects", str(args.batch_subjects),
         "-n_steps", str(args.fit_steps),
         "-resolution", str(args.resolution),
-    ]
+    ] + (args.fit_args.split() if args.fit_args else [])
     if args.fit_subjects:
         fit_args += ["-subjects"] + [
             str(s) for s in test_subjects[: args.fit_subjects]
@@ -242,7 +259,7 @@ def main():
             for k, v in json.loads(line.split(" ", 1)[1]).items():
                 out[f"fit_phase_{k}"] = v
     result_dir = os.path.join(
-        root, "fitting", "forward_proto", "protocol"
+        root, "fitting", "forward_proto", args.exp_tag
     )
     fitted = [f for f in os.listdir(result_dir) if f.endswith(".ply")]
     out["n_fitted_meshes"] = len(fitted)
