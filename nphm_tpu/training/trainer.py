@@ -344,13 +344,22 @@ class IdentityTrainer:
         return self.cfg["lr"] * self.cfg["lr_decay_factor"] ** (epoch // interval)
 
     def lr_lat_at(self, epoch: int) -> float:
-        """Latent LR decays only after epoch 1000 (training.py:101-108)."""
+        """Latent LR decays only after epoch 1000 (training.py:101-108).
+
+        The reference recomputes lr_lat ONLY at decay epochs that pass the
+        ``epoch > 1000`` gate and holds the last-set value in between, so a
+        decay event at a multiple of the interval <= 1000 never fires — the
+        held value at epoch e is factor**(e // interval) only when the most
+        recent multiple of the interval is itself > 1000, else the base LR
+        (e.g. interval 600: epochs 1001-1199 hold the BASE lr; the first
+        decay lands at 1200 with exponent 2)."""
         interval = self.cfg.get("lr_decay_interval_lat")
-        if not interval or epoch <= 1000:
+        if not interval:
             return self.cfg["lr_lat"]
-        return self.cfg["lr_lat"] * self.cfg["lr_decay_factor_lat"] ** (
-            epoch // interval
-        )
+        k = epoch // interval
+        if k * interval <= 1000:
+            return self.cfg["lr_lat"]
+        return self.cfg["lr_lat"] * self.cfg["lr_decay_factor_lat"] ** k
 
     # --------------------------------------------------------------- training
 

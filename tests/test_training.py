@@ -596,3 +596,50 @@ def test_grad_norm_logging_optin():
         assert has == want, (flag, sorted(keys))
         if want:
             assert "gnorm_latents" in keys
+
+
+def test_lr_schedule_matches_reference_event_hold_semantics():
+    """The reference recomputes LRs only AT decay epochs (training.py:93-108
+    stage 1, training_corresp.py:136-151 stage 2) and holds the last-set
+    value in between; the stage-1 latent decay is additionally gated on
+    epoch > 1000, so a decay event at a multiple <= 1000 never fires.  Our
+    closed-form lr_at/lr_lat_at must reproduce the held value at EVERY
+    epoch — including the subtle window (1000, first post-gate multiple)
+    where the base LR still holds (e.g. interval 600: epochs 1001-1199)."""
+    from nphm_tpu.training.trainer import IdentityTrainer
+    from nphm_tpu.training.trainer_corresp import DeformationTrainer
+
+    class Stub:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+    def ref_lrs(cfg, n_epochs, lat_gate):
+        # direct simulation of the torch param_group mutation + hold
+        lr, lr_lat = cfg["lr"], cfg["lr_lat"]
+        out = []
+        for e in range(n_epochs):
+            iv = cfg.get("lr_decay_interval")
+            if iv is not None and e % iv == 0:
+                lr = cfg["lr"] * cfg["lr_decay_factor"] ** (e // iv)
+            ivl = cfg.get("lr_decay_interval_lat")
+            if e > lat_gate and ivl is not None and e % ivl == 0:
+                lr_lat = cfg["lr_lat"] * cfg["lr_decay_factor_lat"] ** (e // ivl)
+            out.append((lr, lr_lat))
+        return out
+
+    for interval in (600, 1000, 5000, None):
+        cfg = {
+            "lr": 5e-4, "lr_lat": 1e-3,
+            "lr_decay_factor": 0.5, "lr_decay_factor_lat": 0.5,
+            "lr_decay_interval": interval, "lr_decay_interval_lat": interval,
+        }
+        n = 2600 if interval != 5000 else 10100
+        for trainer_cls, gate in ((IdentityTrainer, 1000),
+                                  (DeformationTrainer, 0)):
+            stub = Stub(cfg)
+            want = ref_lrs(cfg, n, gate)
+            for e in range(0, n, 7):  # stride keeps the test fast
+                got = (trainer_cls.lr_at(stub, e),
+                       trainer_cls.lr_lat_at(stub, e))
+                assert got == want[e], (
+                    trainer_cls.__name__, interval, e, got, want[e])
