@@ -43,6 +43,41 @@ Only the no-grad forward is provided: training and fitting differentiate
 through the decoder and use the XLA path (models/ensemble.py), which is
 what SURVEY.md section 7 prescribes (pure-XLA reference first, Pallas for
 the extraction hot path).
+
+Measured roofline (scripts/validation/kernel_roofline.py, one v5e chip,
+res-256 brick grid at production dims, 2026-08-19):
+
+- **Dense data flow is AT the compute roofline.** With culling disabled
+  the kernel evaluates all 40 members for 16.77M points in 2.85 s =
+  5.90M q/s = 37.6 useful TFLOP/s; counting the unavoidable MXU-tile
+  padding of the reference's hidden_dim=200 matmuls to 256 lanes (x1.63),
+  the MXU sustains 60.3 TFLOP/s = **92% of the 65.7 TFLOP/s f32
+  (3-pass) peak**.  HBM is idle by comparison: weights are re-streamed
+  per point tile at 142 GB/s of the ~819 GB/s available, and activations
+  never leave VMEM.  The residual 8% is the VPU share (blend + the
+  3-wide/1-wide outer-product layers: 2.8k VPU flops per point-member vs
+  161k MXU) plus grid-step overhead.
+- **The production (culled) setting trades MXU utilization for work
+  elimination, net +2.55x.**  At cull_eps=1e-10 exactly 22.5% of
+  (tile, member) pairs survive the box predicate; the kernel runs the
+  same grid in 1.11 s = 15.1M q/s, with the surviving matmuls at
+  34.7 TFLOP/s padded = 53% of f32 peak.  The utilization drop vs the
+  dense path is per-grid-step overhead concentrated by culling (19.2% of
+  the 81.9k grid steps are fully culled yet still cost part of the
+  13.6 us/step average) and cross-tile raggedness.
+- **Headroom accounting.**  If the surviving 22.5% of work ran at the
+  dense path's 92% utilization, the culled kernel would reach ~26M q/s
+  (+74%).  Every in-place knob to get there is a measured dead end at
+  parity dims: member group >4 (2x worse), tile 4096 (2x worse — larger
+  tile bounding boxes gut the cull), bf16 operands (neutral — the kernel
+  is not bandwidth-bound), relu (changes semantics).  Closing the gap
+  requires a different schedule — compacting active (tile, member) pairs
+  into a dense work list instead of predicating a fixed grid — i.e. the
+  strategy reconstruction/sparse.py already applies one level up, where
+  it wins 2-3x end-to-end on trained models by never touching empty
+  bricks at all.  The 14.2M q/s BENCH headline (15.1M kernel-only; the
+  bench leg includes operand prep) is therefore the plateau of THIS
+  schedule, not of the chip.
 """
 
 from __future__ import annotations
