@@ -724,6 +724,7 @@ def fit_joint_batch(
     mesh=None,
     pad_obs_to: int = 0,
     pad_points_to: int = 0,
+    pad_subjects_to: int = 0,
 ):
     """Fit MANY subjects at once by vmapping the per-subject fit step.
 
@@ -757,6 +758,12 @@ def fit_joint_batch(
     reuses ONE compiled executable — without them the per-group granule
     rounding (8 obs / 512 points) makes e.g. obs counts 7-24 compile three
     programs (VERDICT r3 weak item 1).
+    ``pad_subjects_to``: lower bound on the subject axis — the same
+    one-executable argument applied to S: a 23-subject protocol at group
+    size 8 otherwise compiles a second program for its trailing S=7 group
+    (measured, PROTOCOL_r04 group walls: 40.9 s steady S=8 vs 91.4 s for
+    the S=7 group = recompile + steady).  Dummy rows reuse the mesh-padding
+    machinery below and are dropped from the results.
     Returns per-subject lists: (lat_exprs, lat_shapes, anchors, history).
     """
     cfg = _coerce_cfg(cfg)
@@ -764,7 +771,9 @@ def fit_joint_batch(
     schedule = schedule or default_joint_schedule()
     total = cfg.total_steps
     S = len(subjects_obs)
-    S_pad = S if mesh is None else -(-S // mesh.size) * mesh.size
+    S_pad = max(S, pad_subjects_to) if pad_subjects_to else S
+    if mesh is not None:
+        S_pad = -(-S_pad // mesh.size) * mesh.size
     lam_keys = tuple(sorted(lambdas))
 
     lr_arr = jnp.asarray(
@@ -860,6 +869,7 @@ def fit_joint_batch_resilient(
     mesh=None,
     pad_obs_to: int = 0,
     pad_points_to: int = 0,
+    pad_subjects_to: int = 0,
     _batch_fn=None,
     _single_fn=None,
 ):
@@ -887,7 +897,7 @@ def fit_joint_batch_resilient(
         batch_kw["mesh"] = mesh
     stats = {"crashes": 0, "group_sizes": []}
 
-    def fit_group(group):
+    def fit_group(group, pad_s=0):
         S = len(group)
         if S == 1:
             for attempt in (0, 1):
@@ -909,7 +919,7 @@ def fit_joint_batch_resilient(
         try:
             le, ls, an, h = batch_fn(
                 decoder_shape, params_shape, decoder_expr, params_expr,
-                group, **batch_kw,
+                group, pad_subjects_to=pad_s, **batch_kw,
             )
             stats["group_sizes"].append(S)
             return le, ls, an, [h]
@@ -920,11 +930,15 @@ def fit_joint_batch_resilient(
                 f"[fit_joint_batch_resilient] {S}-subject fit failed "
                 f"({type(e).__name__}: {e}); bisecting to {half}+{S - half}"
             )
+            # bisected retries drop the subject padding: after a (likely
+            # capacity) crash, shrinking the program is the whole point
             le1, ls1, an1, h1 = fit_group(group[:half])
             le2, ls2, an2, h2 = fit_group(group[half:])
             return le1 + le2, ls1 + ls2, an1 + an2, h1 + h2
 
-    lat_exprs, lat_shapes, anchors_list, hists = fit_group(list(subjects_obs))
+    lat_exprs, lat_shapes, anchors_list, hists = fit_group(
+        list(subjects_obs), pad_s=pad_subjects_to
+    )
     history = {"histories": hists, **stats}
     return lat_exprs, lat_shapes, anchors_list, history
 

@@ -204,6 +204,12 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
     pad_points_to = max(
         (len(ob) for _, _, o in loaded for ob in o), default=0
     )
+    # pad the trailing group's subject axis up to group_size when several
+    # groups run, so ALL groups share one executable (a trailing S=7 group
+    # otherwise recompiles: PROTOCOL_r04 group walls 40.9 s steady vs
+    # 91.4 s = recompile + steady); a single short group keeps its exact
+    # size — there is nothing to reuse and dummy rows would only add FLOPs
+    pad_subjects_to = group_size if len(loaded) > group_size else 0
     for start in range(0, len(loaded), group_size):
         per_subj = loaded[start : start + group_size]
         for subj, inds, _ in per_subj:
@@ -217,7 +223,8 @@ def fit_pointclouds(args, CFG, decoder_shape, params_shape, decoder_expr,
             lat_exprs, lat_shapes, anchors_l, _h = fit_joint_batch_resilient(
                 decoder_shape, params_shape, decoder_expr, params_expr,
                 [obs for _, _, obs in per_subj], mesh=batch_mesh,
-                pad_obs_to=pad_obs_to, pad_points_to=pad_points_to, **fit_kw,
+                pad_obs_to=pad_obs_to, pad_points_to=pad_points_to,
+                pad_subjects_to=pad_subjects_to, **fit_kw,
             )
         else:
             le, ls, an, _h = fit_joint(

@@ -48,6 +48,7 @@ import argparse
 import csv
 import json
 import os
+import re
 import subprocess
 import sys
 import tempfile
@@ -263,6 +264,18 @@ def main():
     )
     fitted = [f for f in os.listdir(result_dir) if f.endswith(".ply")]
     out["n_fitted_meshes"] = len(fitted)
+    # empty predictions (SDF with no zero crossing in the box) are scored
+    # via eval.py's far-sentinel path and poison the aggregate chamfer —
+    # count them so the artifact is self-describing (vertex count is in
+    # the PLY header; no full parse needed)
+    n_empty = 0
+    for f in fitted:
+        with open(os.path.join(result_dir, f), "rb") as fh:
+            head = fh.read(512).decode("latin1", "ignore")
+        m = re.search(r"element vertex (\d+)", head)
+        if m and int(m.group(1)) == 0:
+            n_empty += 1
+    out["n_empty_meshes"] = n_empty
     out["n_subjects_fit"] = len(
         {f.split("_")[0] for f in fitted}
     )

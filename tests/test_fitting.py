@@ -465,6 +465,45 @@ def test_fit_joint_batch_mesh_matches_single_device():
     )
 
 
+def test_fit_joint_batch_subject_padding_matches_unpadded():
+    """``pad_subjects_to`` (one executable for a trailing short protocol
+    group) must not change any real subject's result: dummy rows ride the
+    mesh-padding machinery and the RNG folds the global subject index."""
+    from nphm_tpu.fitting import fit_joint_batch
+
+    shape = SphereDecoder(r0=0.5, lat_dim=4)
+    warp = SmoothWarp(amp=0.0, lat_dim=3)
+    rng = np.random.default_rng(7)
+    subjects = []
+    for r in (0.55, 0.45, 0.6):
+        obs = []
+        for _ in range(2):
+            d = rng.normal(size=(600, 3))
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            obs.append((d * r).astype(np.float32))
+        subjects.append(obs)
+
+    cfg = FittingConfig(
+        n_steps=60, n_obs_per_batch=2, n_points_per_obs=256, log_every=1000
+    )
+    kw = dict(
+        lambdas={"surface": 2.0, "reg_expr": 1e-4, "reg_global": 1e-4},
+        cfg=cfg, verbose=False,
+    )
+    ref = fit_joint_batch(shape, None, warp, None, subjects, **kw)
+    out = fit_joint_batch(
+        shape, None, warp, None, subjects, pad_subjects_to=8, **kw
+    )
+    assert len(out[0]) == 3 and len(out[1]) == 3
+    assert out[3]["loss"].shape == (60, 3)
+    for s in range(3):
+        np.testing.assert_allclose(out[1][s], ref[1][s], atol=1e-5)
+        np.testing.assert_allclose(out[0][s], ref[0][s], atol=1e-5)
+    np.testing.assert_allclose(
+        out[3]["loss"], ref[3]["loss"], rtol=1e-4, atol=1e-6
+    )
+
+
 def test_fit_joint_batch_resilient_bisects_on_crash():
     """VERDICT r1 item 6: a 23-subject protocol must survive injected TPU
     worker crashes.  A fake batch runner dies for groups > 4 (and once for
