@@ -101,9 +101,15 @@ class FittingConfig:
     # iterations are effectively deferred to the next visit of that point
     # rather than lost.  Measured (v5e, production dims, 20 obs x 2500 pts,
     # 1000 steps, random-init nets): cold-15 10.5 s, warm-8 7.1 s, warm-5
-    # 6.7 s (1.56x) at the same loss floor and valid-correspondence count;
-    # warm-3 starts dropping n_valid (~-1%).
-    broyden_warm_steps: int = 5
+    # 6.7 s (1.56x) at the same loss floor and valid-correspondence count.
+    # The isolated warm-3 run hinted at ~-1% n_valid, but the decisive test —
+    # the full 77-mesh production protocol A/B (r04, PROTOCOL_r04.json) —
+    # shows warm-3 at matched quality (Chamfer-L1 1.25798 vs 1.25677 base,
+    # F@5 0.7317 vs 0.7324; the spread across ALL six A/B variants is
+    # ±0.1%) and 37.8-39.0 s steady per 1000-step S=8 group vs 40.9 s at
+    # warm-5 (35.0-36.4 s combined with ift_jacobian="broyden").  Default 3
+    # on that protocol gate.
+    broyden_warm_steps: int = 3
     # Initialize Broyden's inverse Jacobian at I instead of the autograd
     # Jacobian when warm-starting: g(x) = x + delta(x) - obs has J ~= I for
     # the smallish deformation fields this model family learns, and the
@@ -122,6 +128,10 @@ class FittingConfig:
     # full 15-iteration first-step budget absorbs (the identity-init variant
     # was already measured to match n_valid).  Only applies when
     # warm_start_corresp is on; overrides warm_identity_jacobian.
+    # Validated at protocol scale (r04 A/B, 77 production-dims meshes):
+    # store ON Chamfer-L1 1.25798 vs store OFF 1.25841 (noise) with the
+    # store ~5-25% faster in steady group walls — the carried-store variant
+    # is both reference-quality-matched and the faster default.
     warm_jacobian_store: bool = True
     # Stop a Broyden search once at most this fraction of its points is
     # still active.  0.0 = the reference's exact any(active) semantics.
@@ -130,14 +140,25 @@ class FittingConfig:
     # each fit step pays whole-batch iterations for a vanishing tail;
     # stragglers cut off early simply fail the cvg validity test exactly as
     # they would after exhausting the budget, and the warm store lets them
-    # resume next visit.
+    # resume next visit.  MEASURED DEAD END at protocol scale (r04 A/B):
+    # with the warm budget already at 3-5 iterations, frac_exit=0.001 never
+    # fires (mean executed iterations stays 5.00 — >0.1% of points are
+    # still active at budget exhaustion every step) and steady walls are
+    # unchanged.  Kept for the cold-start path where the 15-iteration
+    # budget gives it room, but it is a no-op in production fits.
     broyden_frac_exit: float = 0.0
     # Inverse Jacobian used in the implicit-function-theorem gradient
     # attachment at the found roots (reference fitting.py:98-107).  "exact"
-    # (reference-faithful default) re-derives it with three JVPs + a 3x3
-    # inverse every step; "broyden" reuses the search's refined secant
-    # J^-1 — an APPROXIMATE IFT gradient that skips those JVPs.
-    ift_jacobian: str = "exact"
+    # (reference-faithful) re-derives it with three JVPs + a 3x3 inverse
+    # every step; "broyden" reuses the search's refined secant J^-1 — an
+    # APPROXIMATE IFT gradient that skips those JVPs.  Protocol-scale A/B
+    # (r04, 77 production-dims meshes): "broyden" matches quality exactly
+    # (Chamfer-L1 1.25649 vs 1.25677 exact; combined with warm_steps=3 it
+    # is 1.25797) and the combination is the fastest measured variant
+    # (35.0-36.4 s steady per 1000-step S=8 group vs 40.9 s base, ~13%).
+    # Default "broyden" on that gate; pass "exact" for the
+    # reference-faithful gradient.
+    ift_jacobian: str = "broyden"
 
     @property
     def total_steps(self) -> int:
