@@ -893,6 +893,7 @@ def fit_joint_batch_resilient(
     pad_subjects_to: int = 0,
     _batch_fn=None,
     _single_fn=None,
+    _recover_fn=None,
 ):
     """Crash-tolerant ``fit_joint_batch``: bisect-and-retry on worker crashes.
 
@@ -904,12 +905,31 @@ def fit_joint_batch_resilient(
     groups through the non-vmapped ``fit_joint``.  A singleton that fails
     twice re-raises: that is a genuine error, not a capacity crash.
 
+    A worker crash poisons the whole in-process backend — every retry,
+    however small, fails instantly until the runtime is re-initialized
+    (measured r04: the NPM S=8 fit crashed the worker and the ladder burned
+    8→4→2→1 retries against the dead backend in seconds).  Crash-shaped
+    failures (``ops.fallback.backend_crash_error``) therefore trigger
+    ``recover_backend()`` before the ladder continues, and the decoder
+    params are snapshotted to HOST memory up front so retries do not
+    dereference device buffers that died with the worker.  The Broyden warm
+    store and Adam state live inside each (re-executed) group fit, so a
+    recovered retry is a clean re-fit of that group, not a resume.
+
     Same contract as ``fit_joint_batch``; ``history`` additionally records
     ``group_sizes`` (the sizes that ultimately succeeded) and ``crashes``.
     ``_batch_fn``/``_single_fn`` are test seams.
     """
+    from nphm_tpu.ops.fallback import backend_crash_error, recover_backend
+
     batch_fn = _batch_fn or fit_joint_batch
     single_fn = _single_fn or fit_joint
+    recover_fn = _recover_fn or recover_backend
+    # Host-side param snapshots: device buffers do not survive a worker
+    # crash + backend re-init; numpy leaves re-upload transparently on the
+    # next call (a few MB once per protocol — noise vs the fit itself).
+    params_shape = jax.tree.map(np.asarray, params_shape)
+    params_expr = jax.tree.map(np.asarray, params_expr)
     kw = dict(lambdas=lambdas, schedule=schedule, cfg=cfg, verbose=verbose)
     # mesh/padding hints only apply to the vmapped group fit (fit_joint is
     # per-subject and does its own granule padding)
@@ -937,6 +957,8 @@ def fit_joint_batch_resilient(
                         "[fit_joint_batch_resilient] single-subject fit "
                         f"failed ({type(e).__name__}: {e}); retrying once"
                     )
+                    if backend_crash_error(e):
+                        recover_fn()
         try:
             le, ls, an, h = batch_fn(
                 decoder_shape, params_shape, decoder_expr, params_expr,
@@ -951,6 +973,8 @@ def fit_joint_batch_resilient(
                 f"[fit_joint_batch_resilient] {S}-subject fit failed "
                 f"({type(e).__name__}: {e}); bisecting to {half}+{S - half}"
             )
+            if backend_crash_error(e):
+                recover_fn()
             # bisected retries drop the subject padding: after a (likely
             # capacity) crash, shrinking the program is the whole point
             le1, ls1, an1, h1 = fit_group(group[:half])

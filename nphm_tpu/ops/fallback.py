@@ -39,3 +39,75 @@ def kernel_compile_error(exc: BaseException) -> bool:
     """True iff ``exc`` looks like a Pallas/Mosaic kernel-compile failure."""
     blob = f"{type(exc).__name__}: {exc}".lower()
     return any(sig in blob for sig in _KERNEL_COMPILE_SIGNATURES)
+
+
+# A crashed TPU worker poisons the whole in-process backend: every later
+# dispatch — including retries of a SMALLER program — fails instantly with
+# the same UNAVAILABLE error until the runtime is re-initialized (observed
+# r04: an S=8 NPM fit crashed the worker and the bisection ladder burned
+# all its retries against the dead backend).  The chip itself recovers on
+# its own; a NEW process always works.  ``recover_backend`` gives the
+# CURRENT process that fresh-process behavior: drop the cached runtime +
+# compiled programs and re-probe until the relay hands back a live backend.
+_BACKEND_CRASH_SIGNATURES = (
+    "crashed or restarted",   # "TPU worker process crashed or restarted"
+    "unavailable",            # jax UNAVAILABLE runtime errors
+)
+
+
+def backend_crash_error(exc: BaseException) -> bool:
+    """True iff ``exc`` looks like a dead/crashed TPU backend (not a
+    program bug): retrying the same Python call is useless until
+    ``recover_backend`` succeeds."""
+    blob = f"{type(exc).__name__}: {exc}".lower()
+    return any(sig in blob for sig in _BACKEND_CRASH_SIGNATURES)
+
+
+def recover_backend(probe_timeout_s: float = 120.0, verbose: bool = True) -> bool:
+    """Best-effort in-process TPU backend recovery after a worker crash.
+
+    Clears jax's cached backends + compiled programs and probes with a tiny
+    device computation (run in a watchdog thread: a DOWN relay blocks
+    forever inside backend init — .claude/skills/verify/SKILL.md).  Retries
+    with backoff for ~3 minutes.  Returns True when a probe computation
+    round-trips.  All device arrays created before the crash are dead
+    regardless — callers must rematerialize inputs from host copies.
+    """
+    import threading
+    import time as _time
+
+    import jax
+    import numpy as _np
+
+    def _probe() -> bool:
+        ok = {}
+
+        def body():
+            try:
+                x = jax.jit(lambda a: a + 1)(_np.float32(1))
+                ok["v"] = float(_np.asarray(x)) == 2.0
+            except Exception:  # noqa: BLE001 — any failure = still dead
+                ok["v"] = False
+
+        t = threading.Thread(target=body, daemon=True)
+        t.start()
+        t.join(probe_timeout_s)
+        return bool(ok.get("v"))
+
+    for wait in (2.0, 10.0, 30.0, 60.0, 90.0):
+        try:
+            jax.clear_caches()
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            jax.clear_backends()
+        except Exception:  # noqa: BLE001
+            pass
+        _time.sleep(wait)
+        if _probe():
+            if verbose:
+                print("[recover_backend] TPU backend re-initialized")
+            return True
+        if verbose:
+            print(f"[recover_backend] backend still down after {wait:.0f}s wait")
+    return False

@@ -531,10 +531,13 @@ def test_fit_joint_batch_resilient_bisects_on_crash():
             raise RuntimeError("TPU worker process crashed or restarted")
         return ("le", obs[0]), ("ls", obs[0]), ("an", obs[0]), {"loss": 0.0}
 
+    recoveries = []
+
     subjects = [[i] for i in range(23)]  # obs list per subject = [tag]
     le, ls, an, hist = fit_joint_batch_resilient(
         None, None, None, None, subjects,
         _batch_fn=fake_batch, _single_fn=fake_single,
+        _recover_fn=lambda: recoveries.append(1) or True,
     )
     assert [x[1] for x in le] == list(range(23))
     assert [x[1] for x in ls] == list(range(23))
@@ -543,6 +546,10 @@ def test_fit_joint_batch_resilient_bisects_on_crash():
     assert max(hist["group_sizes"]) <= 4
     assert sum(hist["group_sizes"]) == 23
     assert max(calls["batch"]) == 23 and min(calls["batch"]) >= 2
+    # every crash-shaped failure (the injected errors all carry the worker-
+    # crash signature) must attempt an in-process backend recovery before
+    # the ladder continues (r04: retries into a dead backend are useless)
+    assert len(recoveries) == hist["crashes"]
 
 
 def test_fit_joint_batch_resilient_singleton_failure_reraises():
@@ -555,6 +562,7 @@ def test_fit_joint_batch_resilient_singleton_failure_reraises():
         fit_joint_batch_resilient(
             None, None, None, None, [[0]],
             _batch_fn=always_fail, _single_fn=always_fail,
+            _recover_fn=lambda: True,
         )
 
 
@@ -600,3 +608,26 @@ def test_kernel_compile_error_classification():
         assert kernel_compile_error(e), e
     for e in misses:
         assert not kernel_compile_error(e), e
+
+
+def test_backend_crash_error_classification():
+    """Worker-crash classifier (ops/fallback.py): only dead-backend shapes
+    trigger in-process recovery; program bugs and OOMs must not."""
+    from nphm_tpu.ops.fallback import backend_crash_error
+
+    hits = [
+        RuntimeError("UNAVAILABLE: TPU worker process crashed or restarted."
+                     " This can be caused by a kernel fault"),
+        RuntimeError("jax.errors.JaxRuntimeError: UNAVAILABLE: connection"),
+    ]
+    misses = [
+        RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                     "space hbm"),
+        ValueError("shapes do not match"),
+        RuntimeError("Mosaic failed to compile TPU kernel"),
+        RuntimeError("NaN guard tripped"),
+    ]
+    for e in hits:
+        assert backend_crash_error(e), e
+    for e in misses:
+        assert not backend_crash_error(e), e
