@@ -159,6 +159,23 @@ class FittingConfig:
     # Default "broyden" on that gate; pass "exact" for the
     # reference-faithful gradient.
     ift_jacobian: str = "broyden"
+    # Upper bound on the fit steps executed per DEVICE INVOCATION.  The
+    # joint fit compiles to one lax.scan over all steps; for the NPHM
+    # family that is a ~40 s program at S=8, but the NPM family's global
+    # 8x1024 DeepSDF nets make the same scan a multi-MINUTE uninterrupted
+    # execution, which has crashed the TPU worker through the axon relay
+    # twice at protocol scale (r04: "TPU worker process crashed or
+    # restarted" mid-fit, both --family npm attempts).  Segmenting the scan
+    # re-enters the host every `steps_per_call` steps: identical trajectory
+    # (the RNG folds the GLOBAL step index and the carry — latents, Adam
+    # state, warm stores — threads through unchanged, tested), bounded
+    # per-invocation device time, and a crash loses one segment's group
+    # instead of poisoning a 1000-step program.  Costs ~50 ms host
+    # round-trip per segment.  -1 = auto: off for NPHM-kind shape decoders
+    # (measured safe unsegmented), 125 steps for everything else on a real
+    # TPU backend.  0 = force off.  Pick a divisor of total_steps or the
+    # remainder segment compiles a second (shorter) program.
+    steps_per_call: int = -1
 
     @property
     def total_steps(self) -> int:
@@ -295,8 +312,11 @@ def _shape_fields_fn(decoder_shape, cfg: FittingConfig, mesh=None):
     return fields
 
 
-def _run_with_xla_fallback(make_run, cfg, decoder_shape, args, tag, mesh=None):
+def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None):
     """Execute a cached fit runner, materializing every output.
+
+    ``driver(run_fn)`` performs the actual call(s) — one invocation for the
+    single-scan program, a segment loop under ``cfg.steps_per_call``.
 
     If the fused-kernel variant fails to COMPILE (tiny architectures hit a
     Mosaic "only constant accumulators supported" error — see
@@ -310,7 +330,7 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, args, tag, mesh=None):
     """
     t0 = time.time()
     try:
-        out = make_run(cfg)(*args)
+        out = driver(make_run(cfg))
         return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
     except Exception as e:  # noqa: BLE001 — the relay wraps compile errors
         if not kernel_compile_error(e) or _shape_fields_fn(decoder_shape, cfg, mesh) is None:
@@ -321,8 +341,30 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, args, tag, mesh=None):
         )
         cfg = dataclasses.replace(cfg, fused_shape_fields="off")
         t0 = time.time()
-        out = make_run(cfg)(*args)
+        out = driver(make_run(cfg))
         return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
+
+
+def _fit_segments(cfg: FittingConfig, decoder_shape, total: int):
+    """Resolve ``steps_per_call`` into a list of (step_offset, length).
+
+    -1 (auto) keeps the NPHM family on its measured-safe single-scan
+    program and segments everything else (the NPM family's global DeepSDF
+    fit) into 125-step device invocations on a real TPU backend; CPU runs
+    are never segmented by auto (no relay, no crash surface, and tests
+    cover the explicit setting).
+    """
+    seg = cfg.steps_per_call
+    if seg < 0:
+        is_nphm = getattr(decoder_shape, "kind", None) == "nphm"
+        seg = (
+            125
+            if not is_nphm and jax.default_backend() == "tpu"
+            else 0
+        )
+    if seg <= 0 or seg >= total:
+        return [(0, total)]
+    return [(off, min(seg, total - off)) for off in range(0, total, seg)]
 
 
 def _coerce_cfg(cfg: FittingConfig) -> FittingConfig:
@@ -435,18 +477,15 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
     warm_j = warm and cfg.warm_jacobian_store
 
     def run(lat_shape, lat_expr, os_state, oe_state, params_shape, params_expr,
-            padded, lens, n_obs, base_key, lr_arr, lam_mat, clamp_arr):
-        store0 = padded if warm else jnp.zeros((1,))
-        storej0 = (
-            jnp.broadcast_to(
-                jnp.eye(3, dtype=padded.dtype), padded.shape[:2] + (3, 3)
-            )
-            if warm_j
-            else jnp.zeros((1,))
-        )
-
-        def step(carry, j):
+            padded, lens, n_obs, base_key, lr_arr, lam_mat, clamp_arr,
+            store0, storej0, step_offset):
+        def step(carry, t):
             lat_s, lat_e, os_state, oe_state, store, store_j = carry
+            # RNG and cold-start checks use the GLOBAL step index so a
+            # segmented fit (steps_per_call) replays the exact trajectory
+            # of the single-scan program; schedules arrive pre-sliced and
+            # are indexed by the local position t.
+            j = t + step_offset
             rng = jax.random.fold_in(base_key, j)
             k1, k2 = jax.random.split(rng)
             sel = jax.random.randint(k1, (nb,), 0, n_obs)
@@ -467,7 +506,7 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
             )
             (loss, aux), (g_s, g_e) = grad_fn(
                 lat_s, lat_e, params_shape, params_expr, padded,
-                lam_mat[:, j], clamp_arr[j], sel, idx, xc0, jinv0, bsteps,
+                lam_mat[:, t], clamp_arr[t], sel, idx, xc0, jinv0, bsteps,
             )
             xc_opt = aux.pop("xc_opt")
             j_inv = aux.pop("j_inv")
@@ -475,7 +514,7 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
                 store = store.at[sel[:, None], idx].set(xc_opt)
             if warm_j:
                 store_j = store_j.at[sel[:, None], idx].set(j_inv)
-            lr = lr_arr[j]
+            lr = lr_arr[t]
             upd_s, os_state = adam.update(g_s, os_state, lat_s)
             lat_s = jax.tree_util.tree_map(
                 lambda p, u: p - lr * u, lat_s, upd_s
@@ -489,12 +528,12 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
             return (lat_s, lat_e, os_state, oe_state, store, store_j), hist
 
         with jax.default_matmul_precision(cfg.matmul_precision):
-            (lat_s, lat_e, *_), history = jax.lax.scan(
+            carry, history = jax.lax.scan(
                 step,
                 (lat_shape, lat_expr, os_state, oe_state, store0, storej0),
                 jnp.arange(lr_arr.shape[0]),
             )
-        return (lat_s, lat_e), history
+        return carry, history
 
     return jax.jit(run)
 
@@ -524,24 +563,20 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
 
     def scan_block(lat_shape, lat_expr, os_state, oe_state, padded, lens,
                    n_obs, subj_idx, params_shape, params_expr, base_key,
-                   lr_arr, lam_mat, clamp_arr):
+                   lr_arr, lam_mat, clamp_arr, store0, storej0, step_offset):
         """Fit a block of subjects: the whole batch, or one device's shard
         when running under ``shard_map``."""
-        store0 = padded if warm else jnp.zeros((lat_shape.shape[0], 1))
-        storej0 = (
-            jnp.broadcast_to(
-                jnp.eye(3, dtype=padded.dtype), padded.shape[:3] + (3, 3)
-            )
-            if warm_j
-            else jnp.zeros((lat_shape.shape[0], 1))
-        )
 
-        def step(carry, j):
+        def step(carry, t):
             lat_s, lat_e, os_state, oe_state, store, store_j = carry
+            # global step index: segmented runs replay the single-scan
+            # trajectory exactly (RNG + cold-start gates see j, schedules
+            # arrive pre-sliced and use the local position t)
+            j = t + step_offset
             rngs = jax.vmap(
                 lambda s: jax.random.fold_in(jax.random.fold_in(base_key, j), s)
             )(subj_idx)
-            lr = lr_arr[j]
+            lr = lr_arr[t]
             bsteps = (
                 jnp.where(j == 0, cfg.broyden_max_steps, cfg.broyden_warm_steps)
                 if warm
@@ -567,7 +602,7 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
                 )
                 (loss, aux), (g_s, g_e) = grad_fn(
                     lat_s_s, lat_e_s, params_shape, params_expr, pad_s,
-                    lam_mat[:, j], clamp_arr[j], sel, idx, xc0, jinv0, bsteps,
+                    lam_mat[:, t], clamp_arr[t], sel, idx, xc0, jinv0, bsteps,
                 )
                 if warm:
                     store_s = store_s.at[sel[:, None], idx].set(aux["xc_opt"])
@@ -599,12 +634,12 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
             )
 
         with jax.default_matmul_precision(cfg.matmul_precision):
-            (lat_s, lat_e, *_), (losses, biters) = jax.lax.scan(
+            carry, (losses, biters) = jax.lax.scan(
                 step,
                 (lat_shape, lat_expr, os_state, oe_state, store0, storej0),
                 jnp.arange(lr_arr.shape[0]),
             )
-        return lat_s, lat_e, losses, biters
+        return carry + (losses, biters)
 
     if mesh is None:
         block = scan_block
@@ -616,14 +651,17 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
         block = jax.shard_map(
             scan_block,
             mesh=mesh,
-            in_specs=(D, D, D, D, D, D, D, D, R, R, R, R, R, R),
-            out_specs=(D, D, P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            in_specs=(D, D, D, D, D, D, D, D, R, R, R, R, R, R, D, D, R),
+            out_specs=(
+                D, D, D, D, D, D,
+                P(None, DATA_AXIS), P(None, DATA_AXIS),
+            ),
             check_vma=False,  # pallas_call out_shape carries no vma
         )
 
     def run(*args):
-        lat_s, lat_e, losses, biters = block(*args)
-        return (lat_s, lat_e), (losses, biters)
+        *carry, losses, biters = block(*args)
+        return tuple(carry), (losses, biters)
 
     return jax.jit(run)
 
@@ -704,13 +742,40 @@ def fit_joint(
     opt_expr_state = adam.init(lat_expr)
     base_key = jax.random.PRNGKey(cfg.seed)
 
+    warm = cfg.warm_start_corresp
+    warm_j = warm and cfg.warm_jacobian_store
+    store0 = padded if warm else jnp.zeros((1,))
+    storej0 = (
+        jnp.broadcast_to(
+            jnp.eye(3, dtype=padded.dtype), padded.shape[:2] + (3, 3)
+        )
+        if warm_j
+        else jnp.zeros((1,))
+    )
+    segments = _fit_segments(cfg, decoder_shape, total)
+
+    def driver(run_fn):
+        carry = (lat_shape, lat_expr, opt_shape_state, opt_expr_state,
+                 store0, storej0)
+        hists = []
+        for off, ln in segments:
+            carry, hist = run_fn(
+                *carry[:4], params_shape, params_expr, padded, lens, n_obs,
+                base_key, lr_arr[off:off + ln], lam_mat[:, off:off + ln],
+                clamp_arr[off:off + ln], carry[4], carry[5], np.int32(off),
+            )
+            hists.append(hist)
+            if len(segments) > 1:
+                # force this segment's execution to finish before the next
+                # is dispatched: bounded per-invocation device time is the
+                # whole point of segmenting (one scalar pull, ~26 ms)
+                np.asarray(hist[-1, 0])
+        full = hists[0] if len(hists) == 1 else jnp.concatenate(hists, axis=0)
+        return (carry[0], carry[1]), full
+
     ((lat_shape, lat_expr), hist), elapsed = _run_with_xla_fallback(
         lambda c: _joint_runner(decoder_shape, decoder_expr, c, lam_keys),
-        cfg, decoder_shape,
-        (lat_shape, lat_expr, opt_shape_state, opt_expr_state,
-         params_shape, params_expr, padded, lens, n_obs, base_key,
-         lr_arr, lam_mat, clamp_arr),
-        "fit_joint",
+        cfg, decoder_shape, driver, "fit_joint",
     )
     history = {k: hist[:, i] for i, k in enumerate(_JOINT_HIST_KEYS)}
     lat_expr = lat_expr[:n_obs]
@@ -842,15 +907,48 @@ def fit_joint_batch(
     opt_expr_state = jax.vmap(adam.init)(lat_expr)
     base_key = jax.random.PRNGKey(cfg.seed)
 
+    warm = cfg.warm_start_corresp
+    warm_j = warm and cfg.warm_jacobian_store
+    store0 = padded if warm else jnp.zeros((S_pad, 1))
+    storej0 = (
+        jnp.broadcast_to(
+            jnp.eye(3, dtype=padded.dtype), padded.shape[:3] + (3, 3)
+        )
+        if warm_j
+        else jnp.zeros((S_pad, 1))
+    )
+    segments = _fit_segments(cfg, decoder_shape, total)
+
+    def driver(run_fn):
+        carry = (lat_shape, lat_expr, opt_shape_state, opt_expr_state,
+                 store0, storej0)
+        hists = []
+        for off, ln in segments:
+            carry, hist = run_fn(
+                *carry[:4], padded, lens, n_obs_j, subj_idx, params_shape,
+                params_expr, base_key, lr_arr[off:off + ln],
+                lam_mat[:, off:off + ln], clamp_arr[off:off + ln],
+                carry[4], carry[5], np.int32(off),
+            )
+            hists.append(hist)
+            if len(segments) > 1:
+                # per-segment sync: bound each device invocation (see
+                # FittingConfig.steps_per_call)
+                np.asarray(hist[0][-1, 0])
+        full = (
+            hists[0]
+            if len(hists) == 1
+            else jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *hists
+            )
+        )
+        return (carry[0], carry[1]), full
+
     ((lat_shape, lat_expr), (losses, biters)), elapsed = _run_with_xla_fallback(
         lambda c: _joint_batch_runner(
             decoder_shape, decoder_expr, c, lam_keys, mesh
         ),
-        cfg, decoder_shape,
-        (lat_shape, lat_expr, opt_shape_state, opt_expr_state,
-         padded, lens, n_obs_j, subj_idx, params_shape, params_expr,
-         base_key, lr_arr, lam_mat, clamp_arr),
-        "fit_joint_batch",
+        cfg, decoder_shape, driver, "fit_joint_batch",
         mesh=mesh,
     )
     losses = losses[:, :S]
@@ -1100,11 +1198,15 @@ def fit_identity(
     opt_state = adam.init(lat_shape)
     base_key = jax.random.PRNGKey(cfg.seed)
 
+    # identity-only fits have no Broyden search — even the NPM family's
+    # 1024-wide net runs ms-scale steps, so the single-scan program is fine
     ((lat_shape, hist)), elapsed = _run_with_xla_fallback(
         lambda c: _identity_runner(decoder_shape, c, lam_keys),
         cfg, decoder_shape,
-        (lat_shape, opt_state, params_shape, padded, lens, n_obs, base_key,
-         lr_arr, lam_mat, clamp_arr),
+        lambda run_fn: run_fn(
+            lat_shape, opt_state, params_shape, padded, lens, n_obs,
+            base_key, lr_arr, lam_mat, clamp_arr,
+        ),
         "fit_identity",
     )
     history = {k: hist[:, i] for i, k in enumerate(_ID_HIST_KEYS)}
