@@ -156,26 +156,32 @@ def face_region_indices():
 
 def _cached_samples(out_dir, mesh, m_flame, face_idx, num_samps, rng, resample):
     names = ("points.npy", "normals.npy", "points_face.npy", "normals_face.npy")
-    paths = [os.path.join(out_dir, n) for n in names]
+    # Caches at different draw counts COEXIST: filenames are keyed by
+    # num_samps, so a 25k protocol cache and a 250k reference-fidelity cache
+    # (reference eval.py:111 default) live side by side instead of silently
+    # overwriting each other.  Legacy unsuffixed caches (pre-r04) are still
+    # honored iff their meta file records the same count.
+    paths = [
+        os.path.join(out_dir, n.replace(".npy", f"_{num_samps}.npy"))
+        for n in names
+    ]
+    legacy = [os.path.join(out_dir, n) for n in names]
     meta_path = os.path.join(out_dir, "samples_meta.json")
-    if all(os.path.exists(p) for p in paths) and not resample:
-        # the cache is only valid at the same draw count: silently reusing
-        # a 50k cache for a --num_samps 250000 run would misreport the
-        # headline metric fidelity (caches without a meta file predate
-        # this check and are treated as stale)
-        try:
-            with open(meta_path) as f:
-                cached_n = json.load(f).get("num_samps")
-        except (OSError, ValueError):
-            cached_n = None
-        if cached_n == num_samps:
+    if not resample:
+        if all(os.path.exists(p) for p in paths):
             return tuple(np.load(p) for p in paths)
+        if all(os.path.exists(p) for p in legacy):
+            try:
+                with open(meta_path) as f:
+                    cached_n = json.load(f).get("num_samps")
+            except (OSError, ValueError):
+                cached_n = None
+            if cached_n == num_samps:
+                return tuple(np.load(p) for p in legacy)
     out = sample_surface_points(mesh, m_flame, face_idx, num_samps, rng)
     os.makedirs(out_dir, exist_ok=True)
     for p, arr in zip(paths, out):
         np.save(p, arr)
-    with open(meta_path, "w") as f:
-        json.dump({"num_samps": num_samps}, f)
     return out
 
 

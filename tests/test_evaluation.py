@@ -299,6 +299,58 @@ def test_sample_surface_points_slicing_and_determinism():
     assert ok.all()
 
 
+def test_cached_samples_coexist_by_num_samps(tmp_path):
+    """Sample caches at different draw counts coexist (filenames keyed by
+    num_samps) and legacy unsuffixed caches are honored iff their meta
+    records the matching count — a 250k reference-fidelity run must not
+    clobber the 25k protocol caches (VERDICT r3 item 4 rerun hygiene)."""
+    import json as _json
+
+    ev = _load_eval_module()
+    mesh = _sphere_mesh(r=0.4)
+    flame = _sphere_mesh(r=0.38, res=48)
+    face_idx = np.arange(0, len(flame.vertices), 7)
+    out_dir = str(tmp_path / "cache")
+
+    a = ev._cached_samples(
+        out_dir, mesh, flame, face_idx, 500, np.random.default_rng(1), False
+    )
+    b = ev._cached_samples(
+        out_dir, mesh, flame, face_idx, 800, np.random.default_rng(2), False
+    )
+    assert os.path.exists(os.path.join(out_dir, "points_500.npy"))
+    assert os.path.exists(os.path.join(out_dir, "points_800.npy"))
+    assert a[0].shape[0] == 500 and b[0].shape[0] == 800
+
+    # cache HIT: a different rng must return the stored 500-draw arrays
+    a2 = ev._cached_samples(
+        out_dir, mesh, flame, face_idx, 500, np.random.default_rng(99), False
+    )
+    for x, y in zip(a, a2):
+        np.testing.assert_array_equal(x, y)
+
+    # legacy unsuffixed cache (pre-r04 layout): honored when meta matches
+    legacy_dir = str(tmp_path / "legacy")
+    os.makedirs(legacy_dir)
+    names = ("points.npy", "normals.npy", "points_face.npy",
+             "normals_face.npy")
+    for n, arr in zip(names, a):
+        np.save(os.path.join(legacy_dir, n), arr)
+    with open(os.path.join(legacy_dir, "samples_meta.json"), "w") as f:
+        _json.dump({"num_samps": 500}, f)
+    c = ev._cached_samples(
+        legacy_dir, mesh, flame, face_idx, 500, np.random.default_rng(7), False
+    )
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x, y)
+    # ... and recomputed (not reused) when the count differs
+    d = ev._cached_samples(
+        legacy_dir, mesh, flame, face_idx, 300, np.random.default_rng(7), False
+    )
+    assert d[0].shape[0] == 300
+    assert os.path.exists(os.path.join(legacy_dir, "points_300.npy"))
+
+
 def test_sample_surface_points_all_below_plane_fallback():
     """A mesh entirely below the chin plane warns and samples everything
     instead of raising (reference crashes on rng.integers(0, 0))."""
