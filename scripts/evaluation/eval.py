@@ -251,9 +251,14 @@ def main():
     parser.add_argument("--subjects", type=int, nargs="*", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
-        "--workers", type=int, default=min(8, os.cpu_count() or 1),
+        "--workers", type=int, default=min(8, max(2, os.cpu_count() or 1)),
         help="scans evaluated concurrently (host threads; the rasterizer, "
-        "KDTree queries, and numpy reductions release the GIL).  1 = serial",
+        "KDTree queries, and numpy reductions release the GIL).  1 = serial. "
+        "2 wins even on a ONE-core host by overlapping one scan's host work "
+        "with another's TPU-NN relay round-trips (measured at 250k draws "
+        "over 77 meshes: 11.79/10.46/17.50 s/scan at 1/2/4 workers — 4 "
+        "oversubscribes the core AND the relay; PROTOCOL_r04.json "
+        "eval_250k_study)",
     )
     args = parser.parse_args()
 
