@@ -192,13 +192,20 @@ def main():
     def lr_at(step, key):
         return by_step[step][key]
 
+    def _assert_lr(e, key, expect):
+        # the trainer logs LRs through float32 optimizer state, so exact
+        # f64 equality is one rounding step off (0.0005 logs as
+        # 0.00050000002374...): compare at f32 resolution
+        got = lr_at(e, key)
+        assert abs(got - expect) <= 1e-6 * expect, (e, key, got, expect)
+
     if args.epochs > 5000:
         for e in (999, 1000, 1001, 2500, 4999):
-            assert abs(lr_at(e, "lr") - base_lr) < 1e-12, (e, lr_at(e, "lr"))
-            assert abs(lr_at(e, "lr_lat") - base_lr_lat) < 1e-12
+            _assert_lr(e, "lr", base_lr)
+            _assert_lr(e, "lr_lat", base_lr_lat)
         for e in range(5000, min(args.epochs, 5200)):
-            assert abs(lr_at(e, "lr") - base_lr * 0.5) < 1e-12
-            assert abs(lr_at(e, "lr_lat") - base_lr_lat * 0.5) < 1e-12
+            _assert_lr(e, "lr", base_lr * 0.5)
+            _assert_lr(e, "lr_lat", base_lr_lat * 0.5)
         out["lr_gate_ok"] = True
         out["lr_at_4999"] = lr_at(4999, "lr")
         out["lr_at_5000"] = lr_at(5000, "lr")
