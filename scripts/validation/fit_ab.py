@@ -67,6 +67,16 @@ VARIANTS = {
     "v6_jstore_ift": dict(warm_jacobian_store=True, ift_jacobian="broyden"),
     "v7_all": dict(warm_jacobian_store=True, broyden_frac_exit=0.001,
                    ift_jacobian="broyden"),
+    # r04 follow-up: the protocol gate flipped defaults to w3+ift_broyden
+    # (v3+v6); probe one notch lower on the warm budget.  MEASURED DEAD
+    # END (2026-08-19, same-process run): w2 4.501 s steady vs w3 4.628 s
+    # (+2.7%) but n_valid_last50 drops 4565 vs 4724 (-3.4% converged
+    # correspondences, biters pinned at the 2-iter budget) — the quality
+    # loss at stage 1 disqualifies it from a protocol gate.
+    "v8_w2_ift": dict(warm_jacobian_store=True, broyden_warm_steps=2,
+                      ift_jacobian="broyden"),
+    "v9_w3_ift": dict(warm_jacobian_store=True, broyden_warm_steps=3,
+                      ift_jacobian="broyden"),
 }
 
 names = sys.argv[1:] or list(VARIANTS)
