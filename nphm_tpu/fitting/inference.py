@@ -159,6 +159,20 @@ class FittingConfig:
     # Default "broyden" on that gate; pass "exact" for the
     # reference-faithful gradient.
     ift_jacobian: str = "broyden"
+    # Route the warm Broyden correspondence search through the fused Pallas
+    # kernel (ops/pallas_search.py): the whole search — residual init + all
+    # rank-1 iterations — runs as ONE kernel with trunk weights/activations
+    # VMEM-resident and per-point state in lane-major registers, with a
+    # per-tile early exit (a strict refinement of the reference's global
+    # any(active), iterative_root_finding.py:39 — only whole-tile no-op
+    # iterations are skipped).  Applies only to warm-started searches with
+    # an explicit inverse-Jacobian init (warm store or identity): the
+    # autograd-Jacobian cold init stays on the XLA path, as does any
+    # config the kernel does not cover (interpolate-mode conditioning,
+    # frac_exit, multi_corresp).  "auto" = on for kernel-eligible
+    # deformation decoders on a real TPU backend; "on" forces it
+    # (interpret mode off-TPU, for tests); "off" = the XLA parity path.
+    fused_search: str = "auto"
     # Upper bound on the fit steps executed per DEVICE INVOCATION.  The
     # joint fit compiles to one lax.scan over all steps; for the NPHM
     # family that is a ~40 s program at S=8, but the NPM family's global
@@ -312,7 +326,38 @@ def _shape_fields_fn(decoder_shape, cfg: FittingConfig, mesh=None):
     return fields
 
 
-def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None):
+def _use_fused_search(decoder_expr, cfg: FittingConfig, mesh=None) -> bool:
+    """Gate for the fused Broyden-search kernel (ops/pallas_search.py).
+
+    Kernel-eligible only when the warm path provides an explicit
+    inverse-Jacobian init (warm store or identity — the autograd cold init
+    is XLA-only), the exact-``any(active)`` exit semantics apply
+    (``frac_exit == 0``; the kernel's per-tile exit refines exactly that),
+    and the decoder's conditioning is row-constant.  The "auto" platform
+    gate mirrors ``_shape_fields_fn``."""
+    mode = cfg.fused_search
+    if mode == "off" or not mode:
+        return False
+    if not cfg.warm_start_corresp or cfg.broyden_frac_exit > 0:
+        return False
+    if not (cfg.warm_jacobian_store or cfg.warm_identity_jacobian):
+        return False
+    from nphm_tpu.ops.pallas_search import search_fusable
+
+    if not search_fusable(decoder_expr):
+        return False
+    if mode == "auto":
+        plat = (
+            mesh.devices.flat[0].platform
+            if mesh is not None
+            else jax.default_backend()
+        )
+        return plat == "tpu"
+    return True
+
+
+def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
+                           decoder_expr=None):
     """Execute a cached fit runner, materializing every output.
 
     ``driver(run_fn)`` performs the actual call(s) — one invocation for the
@@ -333,13 +378,18 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None)
         out = driver(make_run(cfg))
         return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
     except Exception as e:  # noqa: BLE001 — the relay wraps compile errors
-        if not kernel_compile_error(e) or _shape_fields_fn(decoder_shape, cfg, mesh) is None:
+        any_kernel = _shape_fields_fn(decoder_shape, cfg, mesh) is not None or (
+            decoder_expr is not None and _use_fused_search(decoder_expr, cfg, mesh)
+        )
+        if not kernel_compile_error(e) or not any_kernel:
             raise
         print(
             f"[{tag}] fused-kernel fit program failed "
             f"({type(e).__name__}); retrying on the XLA path"
         )
-        cfg = dataclasses.replace(cfg, fused_shape_fields="off")
+        cfg = dataclasses.replace(
+            cfg, fused_shape_fields="off", fused_search="off"
+        )
         t0 = time.time()
         out = driver(make_run(cfg))
         return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
@@ -377,7 +427,8 @@ def _coerce_cfg(cfg: FittingConfig) -> FittingConfig:
 
 
 def _make_joint_loss(decoder_shape, decoder_expr, cfg: FittingConfig,
-                     lam_keys, fused_fields):
+                     lam_keys, fused_fields, fused_search=False,
+                     search_interpret=False):
     """The ONE joint-fit loss body, shared by the single-subject and batched
     runners (reference fitting.py:98-162: anchors -> Broyden search -> IFT
     correction -> clamped |sdf| + regularizers).
@@ -410,16 +461,35 @@ def _make_joint_loss(decoder_shape, decoder_expr, cfg: FittingConfig,
             if use_anchors and anchors is not None
             else None
         )
-        xc_opt, result = search(
-            decoder_expr, params_expr, obs, cond, anchors_b,
-            max_steps=broyden_steps,
-            cvg_thresh=cfg.broyden_cvg,
-            dvg_thresh=cfg.broyden_dvg,
-            xc_init=xc0,
-            identity_j_init=warm and cfg.warm_identity_jacobian,
-            j_inv_init=jinv0,
-            frac_exit=cfg.broyden_frac_exit,
-        )
+        if fused_search:
+            from nphm_tpu.ops.pallas_search import search_pallas
+
+            jinv_k = (
+                jnp.broadcast_to(jnp.eye(3, dtype=obs.dtype),
+                                 obs.shape[:-1] + (3, 3))
+                if jinv0 is None
+                else jinv0
+            )
+            xc_opt, result = search_pallas(
+                decoder_expr, params_expr, obs, cond, anchors_b,
+                max_steps=broyden_steps,
+                cvg_thresh=cfg.broyden_cvg,
+                dvg_thresh=cfg.broyden_dvg,
+                xc_init=obs if xc0 is None else xc0,
+                j_inv_init=jinv_k,
+                interpret=search_interpret,
+            )
+        else:
+            xc_opt, result = search(
+                decoder_expr, params_expr, obs, cond, anchors_b,
+                max_steps=broyden_steps,
+                cvg_thresh=cfg.broyden_cvg,
+                dvg_thresh=cfg.broyden_dvg,
+                xc_init=xc0,
+                identity_j_init=warm and cfg.warm_identity_jacobian,
+                j_inv_init=jinv0,
+                frac_exit=cfg.broyden_frac_exit,
+            )
         xc = ift_correction(
             decoder_expr, params_expr, xc_opt, cond, anchors_b,
             j_inv=result["j_inv"] if cfg.ift_jacobian == "broyden" else None,
@@ -470,7 +540,9 @@ def _joint_runner(decoder_shape, decoder_expr, cfg: FittingConfig, lam_keys):
     fused_fields = _shape_fields_fn(decoder_shape, cfg)
     warm = cfg.warm_start_corresp
     loss_fn = _make_joint_loss(
-        decoder_shape, decoder_expr, cfg, lam_keys, fused_fields
+        decoder_shape, decoder_expr, cfg, lam_keys, fused_fields,
+        fused_search=_use_fused_search(decoder_expr, cfg),
+        search_interpret=jax.default_backend() != "tpu",
     )
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
@@ -554,8 +626,14 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
     adam = optax.scale_by_adam()
     fused_fields = _shape_fields_fn(decoder_shape, cfg, mesh)
     warm = cfg.warm_start_corresp
+    plat = (
+        mesh.devices.flat[0].platform if mesh is not None
+        else jax.default_backend()
+    )
     loss_fn = _make_joint_loss(
-        decoder_shape, decoder_expr, cfg, lam_keys, fused_fields
+        decoder_shape, decoder_expr, cfg, lam_keys, fused_fields,
+        fused_search=_use_fused_search(decoder_expr, cfg, mesh),
+        search_interpret=plat != "tpu",
     )
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
@@ -775,7 +853,7 @@ def fit_joint(
 
     ((lat_shape, lat_expr), hist), elapsed = _run_with_xla_fallback(
         lambda c: _joint_runner(decoder_shape, decoder_expr, c, lam_keys),
-        cfg, decoder_shape, driver, "fit_joint",
+        cfg, decoder_shape, driver, "fit_joint", decoder_expr=decoder_expr,
     )
     history = {k: hist[:, i] for i, k in enumerate(_JOINT_HIST_KEYS)}
     lat_expr = lat_expr[:n_obs]
@@ -949,7 +1027,7 @@ def fit_joint_batch(
             decoder_shape, decoder_expr, c, lam_keys, mesh
         ),
         cfg, decoder_shape, driver, "fit_joint_batch",
-        mesh=mesh,
+        mesh=mesh, decoder_expr=decoder_expr,
     )
     losses = losses[:, :S]
     biters = biters[:, :S]
