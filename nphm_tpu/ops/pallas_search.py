@@ -193,15 +193,29 @@ def _make_search_kernel(tcfg: DeepSDFConfig, tile: int, n_real: int,
         # pad point's recomputed activity test could re-arm them)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         inb = pl.program_id(1) * tile + lane < n_real
-        act0 = inb
         niter = niter_ref[0, 0]
 
+        # All per-point state rides ONE [24, tile] f32 carry (24 = 3x8
+        # sublanes): Mosaic's while-loop layout inference chokes on many
+        # small odd-row carries (3/9/1-row vectors + i1 masks yield mixed
+        # (4,128)/(8,128)/replicated layouts at the scf.yield).  Rows:
+        # 0-2 x, 3-5 g(x), 6-8 update, 9-17 J^-1, 18-20 x_best,
+        # 21 best_norm, 22 active flag (f32 0/1), 23 pad.
+        zrow = jnp.zeros((1, tile), jnp.float32)
+        s0 = jnp.concatenate(
+            [x0, gx0, upd0, j0, x0, bn0, inb.astype(jnp.float32), zrow],
+            axis=0,
+        )
+
         def cond(s):
-            it = s[0]
-            return jnp.logical_and(it < niter, jnp.any(s[7]))
+            it, st = s
+            return jnp.logical_and(it < niter, jnp.any(st[22:23] > 0.5))
 
         def body(s):
-            it, x, gx, upd, j9, xb, bn, act = s
+            it, st = s
+            x, gx, upd = st[0:3], st[3:6], st[6:9]
+            j9, xb, bn = st[9:18], st[18:21], st[21:22]
+            act = st[22:23] > 0.5
             dx = jnp.where(act, upd, 0.0)
             x2 = x + dx
             gxn = fwd(x2)
@@ -224,17 +238,22 @@ def _make_search_kernel(tcfg: DeepSDFConfig, tile: int, n_real: int,
             )
             j2 = j9 + jnp.where(act, outer, 0.0)
             upd2 = -_matvec3(j2, gx2)
-            return (it + 1, x2, gx2, upd2, j2, xb2, bn2, act2)
+            st2 = jnp.concatenate(
+                [x2, gx2, upd2, j2, xb2, bn2, act2.astype(jnp.float32), zrow],
+                axis=0,
+            )
+            return (it + 1, st2)
 
-        it, _x, _gx, _upd, j9, xb, bn, act = jax.lax.while_loop(
-            cond, body,
-            (jnp.zeros((), jnp.int32), x0, gx0, upd0, j0, x0, bn0, act0),
+        it, st = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), s0)
         )
-        xb_ref[0] = xb
-        bn_ref[0] = bn
-        ji_ref[0] = j9
-        act_ref[0] = act.astype(jnp.float32)
-        it_ref[0, 0] = it
+        xb_ref[0] = st[18:21]
+        bn_ref[0] = st[21:22]
+        ji_ref[0] = st[9:18]
+        act_ref[0] = st[22:23]
+        # whole-array SMEM accumulator (Mosaic requires full blocks in SMEM);
+        # each sequential grid step writes its own cell
+        it_ref[pl.program_id(0), pl.program_id(1)] = it
 
     return kernel
 
@@ -323,7 +342,9 @@ def broyden_search_pallas(
             pt_spec(1),
             pt_spec(9),
             pt_spec(1),
-            pl.BlockSpec((1, 1), lambda b, t: (b, t), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (B, n_t), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 3, Np), jnp.float32),
@@ -375,12 +396,18 @@ def search_pallas(
     """
     from nphm_tpu.models.deformation import _conditioning
 
-    dcfg = decoder_expr.cfg
-    cond = _conditioning(
-        params_expr, dcfg, cond_lat, anchors, training=False, rng=None
-    )
+    if decoder_expr.kind == "deformation_npm":
+        # NPM family (config.py:87-112): the trunk IS the decoder — a plain
+        # DeepSDF over [z_id, z_ex] with no conditioning head
+        tcfg, cond, trunk = decoder_expr.cfg, cond_lat, params_expr
+    else:
+        dcfg = decoder_expr.cfg
+        cond = _conditioning(
+            params_expr, dcfg, cond_lat, anchors, training=False, rng=None
+        )
+        tcfg, trunk = dcfg.trunk_cfg, params_expr["trunk"]
     res = broyden_search_pallas(
-        params_expr["trunk"], dcfg.trunk_cfg, cond, obs, xc_init, j_inv_init,
+        trunk, tcfg, cond, obs, xc_init, j_inv_init,
         max_steps, cvg_thresh=cvg_thresh, dvg_thresh=dvg_thresh, tile=tile,
         interpret=interpret,
     )
@@ -404,13 +431,17 @@ def search_fusable(decoder_expr) -> bool:
     """Is this expression decoder's search kernel-eligible?
 
     Needs a DeepSDF trunk over raw xyz with row-constant conditioning
-    (every DeformationConfig mode except the per-point 'interpolate') and a
-    >=3-d offset head.
+    (every DeformationConfig mode except the per-point 'interpolate', plus
+    the NPM family's bare-DeepSDF offsets net) and a >=3-d offset head.
     """
-    if getattr(decoder_expr, "kind", None) != "deformation":
+    kind = getattr(decoder_expr, "kind", None)
+    if kind == "deformation_npm":
+        tcfg = decoder_expr.cfg
+    elif kind == "deformation":
+        dcfg = decoder_expr.cfg
+        if dcfg.mode == "interpolate":
+            return False
+        tcfg = dcfg.trunk_cfg
+    else:
         return False
-    dcfg = decoder_expr.cfg
-    if dcfg.mode == "interpolate":
-        return False
-    tcfg = dcfg.trunk_cfg
     return tcfg.d_in_spatial == 3 and tcfg.out_dim >= 3

@@ -77,6 +77,12 @@ VARIANTS = {
                       ift_jacobian="broyden"),
     "v9_w3_ift": dict(warm_jacobian_store=True, broyden_warm_steps=3,
                       ift_jacobian="broyden"),
+    # r04: the fused Broyden-search Pallas kernel (ops/pallas_search.py)
+    # vs the XLA search, both at the r04 default numerics (w3 + jstore +
+    # secant-J IFT).  Same roots up to cvg_thresh — this A/B is about
+    # wall-clock and any threshold-level n_valid drift.
+    "v10_search_xla": dict(fused_search="off"),
+    "v11_search_fused": dict(fused_search="on"),
 }
 
 names = sys.argv[1:] or list(VARIANTS)

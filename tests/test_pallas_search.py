@@ -92,6 +92,31 @@ def test_identity_init_parity(mode):
     _assert_parity(*_both(dec, params, obs, cond, anchors, xc0, jinv0, 8))
 
 
+def test_npm_family_parity():
+    """The NPM offsets net (bare DeepSDF, kind='deformation_npm') fuses too."""
+    from nphm_tpu.config import build_expression_decoder
+
+    dec = build_expression_decoder(
+        {
+            "id_decoder": {"decoder_lat_dim": 12},
+            "ex_decoder": {
+                "decoder_lat_dim": 8,
+                "decoder_hidden_dim": 48,
+                "decoder_nlayers": 4,
+            },
+        },
+        "npm",
+    )
+    assert search_fusable(dec)
+    params = dec.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    obs = jnp.asarray(rng.normal(size=(2, 500, 3)).astype(np.float32)) * 0.3
+    cond = jnp.asarray(rng.normal(size=(2, 20)).astype(np.float32)) * 0.1
+    _assert_parity(
+        *_both(dec, params, obs, cond, None, obs, _identity_j(obs), 6)
+    )
+
+
 def test_warm_store_init_parity():
     """Resume from a previous search's refined state (the warm fit loop)."""
     cfg, dec, params, obs, cond, anchors = _setup()
