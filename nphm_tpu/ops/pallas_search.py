@@ -13,7 +13,14 @@ MXU-bound (bf16 operands were measured a ~4% end-to-end no-op).
 This kernel runs the ENTIRE search — residual init + all iterations — in
 one ``pallas_call``: trunk weights and activations stay VMEM-resident and
 the per-point state (x, g(x), J^-1, best iterate) is carried through an
-in-kernel ``lax.while_loop`` as ``[rows<=9, TILE]`` lane-major vectors.
+in-kernel ``lax.while_loop`` as ONE ``[24, TILE]`` lane-major f32 vector
+(24 = 3x8 sublanes; Mosaic's while-carry layout inference requires it).
+Every (obs, point) pair is a LANE on one flat axis — per-obs conditioning
+travels as per-point bias columns, not a grid dimension — so each matmul
+in the chain is ``[H, H] x [H, TILE]`` at full MXU width, and matmuls run
+at ``Precision.HIGHEST`` (f32): Mosaic's bf16 default stalls residuals
+around 1e-4, under the 1e-6 convergence threshold (measured, -29%
+n_valid).
 
 Scope / contract:
 
@@ -52,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nphm_tpu.models.deepsdf import DeepSDFConfig
 
 SQRT2 = 1.4142135623730951
-DEFAULT_TILE = 512
+DEFAULT_TILE = 1024
 
 
 def _op_layout(tcfg: DeepSDFConfig):
@@ -90,13 +97,13 @@ def prepare_search_operands(params_trunk, tcfg: DeepSDFConfig, cond):
         w, b = layers[i]["w"], layers[i]["b"]  # [out, in], [out]
         if i == 0:
             bias0 = jnp.einsum("bc,oc->bo", cond, w[:, ds:]) + b
-            ops += [w[:, :ds], bias0[..., None]]  # [H, 3], [B, H, 1]
+            ops += [w[:, :ds], bias0]  # [H, 3], [B, H]
         elif i == skip_in:
             h = w.shape[1] - tcfg.d_in
             biasS = (
                 jnp.einsum("bc,oc->bo", cond, w[:, h + ds :]) / SQRT2 + b
             )
-            ops += [w[:, :h] / SQRT2, w[:, h : h + ds] / SQRT2, biasS[..., None]]
+            ops += [w[:, :h] / SQRT2, w[:, h : h + ds] / SQRT2, biasS]
         elif i == L - 1:
             ops += [jnp.swapaxes(w, 0, 1), b[:, None]]  # [in, out], [out, 1]
         else:
@@ -118,7 +125,14 @@ def _pmm(wp, raw):
 
 
 def _dot(w, x):
-    return jnp.dot(w, x, preferred_element_type=jnp.float32)
+    # HIGHEST: full f32 matmul passes.  Mosaic's default drops f32 dots to
+    # bf16 — measured on hardware: residuals then stall around ~1e-4 and
+    # n_valid (converged-below-1e-6 roots) falls 29% vs the XLA search.
+    return jnp.dot(
+        w, x,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _matvec3(j9, v):
@@ -144,7 +158,7 @@ def _vecmat3(v, j9):
 
 
 def _make_search_kernel(tcfg: DeepSDFConfig, tile: int, n_real: int,
-                        cvg: float, dvg: float, eps: float):
+                        n_pad: int, cvg: float, dvg: float, eps: float):
     shapes, skip_in = tcfg.layer_shapes
     L = len(shapes)
     beta = tcfg.beta
@@ -157,8 +171,8 @@ def _make_search_kernel(tcfg: DeepSDFConfig, tile: int, n_real: int,
         xb_ref, bn_ref, ji_ref, act_ref, it_ref = refs[n_ops + 3 :]
         op = {}
         for (i, role), ref in zip(layout, op_refs):
-            op[(i, role)] = ref[0] if role in ("bias0", "biasS") else ref[:]
-        obs = obs_ref[0]  # [3, T]
+            op[(i, role)] = ref[:]
+        obs = obs_ref[:]  # [3, T]
 
         def fwd(x):
             """g(x) = x + trunk(x) - obs, activations VMEM-resident."""
@@ -183,16 +197,17 @@ def _make_search_kernel(tcfg: DeepSDFConfig, tile: int, n_real: int,
             ]
             return x + jnp.concatenate(rows, axis=0) - obs
 
-        x0 = x0_ref[0]
-        j0 = j0_ref[0]
+        x0 = x0_ref[:]
+        j0 = j0_ref[:]
         gx0 = fwd(x0)
         upd0 = -_matvec3(j0, gx0)
         bn0 = jnp.sqrt(jnp.sum(gx0 * gx0, axis=0, keepdims=True))
         # tile-padding points must never count as active: they would hold
         # the per-tile early exit open for the whole budget (and a frozen
-        # pad point's recomputed activity test could re-arm them)
+        # pad point's recomputed activity test could re-arm them).  Padding
+        # is per-obs (each obs occupies n_pad lanes, n_real of them live).
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        inb = pl.program_id(1) * tile + lane < n_real
+        inb = (pl.program_id(0) * tile + lane) % n_pad < n_real
         niter = niter_ref[0, 0]
 
         # All per-point state rides ONE [24, tile] f32 carry (24 = 3x8
@@ -247,13 +262,13 @@ def _make_search_kernel(tcfg: DeepSDFConfig, tile: int, n_real: int,
         it, st = jax.lax.while_loop(
             cond, body, (jnp.zeros((), jnp.int32), s0)
         )
-        xb_ref[0] = st[18:21]
-        bn_ref[0] = st[21:22]
-        ji_ref[0] = st[9:18]
-        act_ref[0] = st[22:23]
+        xb_ref[:] = st[18:21]
+        bn_ref[:] = st[21:22]
+        ji_ref[:] = st[9:18]
+        act_ref[:] = st[22:23]
         # whole-array SMEM accumulator (Mosaic requires full blocks in SMEM);
         # each sequential grid step writes its own cell
-        it_ref[pl.program_id(0), pl.program_id(1)] = it
+        it_ref[0, pl.program_id(0)] = it
 
     return kernel
 
@@ -289,28 +304,45 @@ def broyden_search_pallas(
         raise ValueError("fused search needs a raw-xyz trunk (no freq bands)")
     sg = jax.lax.stop_gradient
     B, N, _ = obs.shape
-    n_t = -(-N // tile)
-    Np = n_t * tile
+    # ONE flat point axis: every (obs, point) pair becomes a lane, so each
+    # grid instance's matmuls are [H, H] x [H, tile] regardless of how the
+    # caller batched the observations.  (The first cut gridded
+    # (B, tiles-of-N): 10 instances of [H, 512] matmuls were overhead-bound
+    # and only ~7% faster end-to-end than XLA.)  Each obs is padded to a
+    # tile multiple so every tile belongs to exactly ONE obs and the
+    # per-obs conditioning biases ride the INDEX MAP as [H, 1] columns —
+    # materializing them as [H, P] per-point columns instead blows the
+    # ~16 MB scoped-VMEM stack limit (measured: 34.95M requested at
+    # production dims, HTTP 500 from the AOT compiler).
+    Np = -(-N // tile) * tile  # padded points per obs
+    tpo = Np // tile  # tiles per obs
+    n_t = B * tpo
+    P = n_t * tile
 
-    def prep(p):  # [B, N, k] -> [B, k, Np]
-        p = jnp.swapaxes(sg(p), 1, 2)
-        return jnp.pad(p, ((0, 0), (0, 0), (0, Np - N)))
+    def prep(p, k):  # [B, N, k] -> [k, B*Np], lane-major, per-obs padded
+        p = jnp.pad(sg(p), ((0, 0), (0, Np - N), (0, 0)))
+        return p.reshape(P, k).T
 
-    obs_t = prep(obs)
-    x0_t = prep(xc_init)
-    j0_t = prep(j_inv_init.reshape(B, N, 9))
+    obs_t = prep(obs, 3)
+    x0_t = prep(xc_init, 3)
+    j0_t = prep(j_inv_init.reshape(B, N, 9), 9)
     ops = jax.tree_util.tree_map(sg, prepare_search_operands(
         params_trunk, tcfg, sg(cond)
     ))
     layout = _op_layout(tcfg)
+    # biases [B, H] -> [H, B] so one obs's column is an [H, 1] block
+    ops = tuple(
+        arr.T if role in ("bias0", "biasS") else arr
+        for (_, role), arr in zip(layout, ops)
+    )
 
     op_specs = []
     for (_, role), arr in zip(layout, ops):
-        if role in ("bias0", "biasS"):  # [B, H, 1], per grid row
+        if role in ("bias0", "biasS"):  # [H, B]: this tile's obs column
             op_specs.append(
                 pl.BlockSpec(
-                    (1,) + arr.shape[1:],
-                    lambda b, t: (b, 0, 0),
+                    (arr.shape[0], 1),
+                    lambda t: (0, t // tpo),
                     memory_space=pltpu.VMEM,
                 )
             )
@@ -318,22 +350,24 @@ def broyden_search_pallas(
             op_specs.append(
                 pl.BlockSpec(
                     arr.shape,
-                    lambda b, t, nd=arr.ndim: (0,) * nd,
+                    lambda t, nd=arr.ndim: (0,) * nd,
                     memory_space=pltpu.VMEM,
                 )
             )
 
     pt_spec = lambda k: pl.BlockSpec(  # noqa: E731
-        (1, k, tile), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
+        (k, tile), lambda t: (0, t), memory_space=pltpu.VMEM
     )
-    kernel = _make_search_kernel(tcfg, tile, N, cvg_thresh, dvg_thresh, eps)
+    kernel = _make_search_kernel(
+        tcfg, tile, N, Np, cvg_thresh, dvg_thresh, eps
+    )
     niter_arr = jnp.asarray(n_iters, jnp.int32).reshape(1, 1)
 
     xb, bn, j9, act, iters = pl.pallas_call(
         kernel,
-        grid=(B, n_t),
+        grid=(n_t,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
             *op_specs,
             pt_spec(3), pt_spec(3), pt_spec(9),
         ],
@@ -343,29 +377,29 @@ def broyden_search_pallas(
             pt_spec(9),
             pt_spec(1),
             pl.BlockSpec(
-                (B, n_t), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+                (1, n_t), lambda t: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 3, Np), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
-            jax.ShapeDtypeStruct((B, 9, Np), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, Np), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_t), jnp.int32),
+            jax.ShapeDtypeStruct((3, P), jnp.float32),
+            jax.ShapeDtypeStruct((1, P), jnp.float32),
+            jax.ShapeDtypeStruct((9, P), jnp.float32),
+            jax.ShapeDtypeStruct((1, P), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_t), jnp.int32),
         ],
         interpret=interpret,
     )(niter_arr, *ops, obs_t, x0_t, j0_t)
 
-    def unprep(p, k):  # [B, k, Np] -> [B, N, k]
-        return jnp.swapaxes(p[:, :, :N], 1, 2)
+    def unprep(p, k):  # [k, B*Np] -> [B, N, k]
+        return p.T.reshape(B, Np, k)[:, :N]
 
-    diff = bn[:, 0, :N]
+    diff = bn[0].reshape(B, Np)[:, :N]
     return {
         "result": unprep(xb, 3),
         "diff": diff,
         "valid_ids": diff < cvg_thresh,
         "j_inv": unprep(j9, 9).reshape(B, N, 3, 3),
-        "active": act[:, 0, :N] > 0.5,
+        "active": act[0].reshape(B, Np)[:, :N] > 0.5,
         # executed iterations: max over tiles == what the global any(active)
         # condition would have executed (the slowest tile's straggler)
         "iters": jnp.max(iters),
