@@ -399,25 +399,20 @@ def main():
         # blocks-only transfer (reconstruction/sparse.py).  Random-init
         # fields are a worst case (surface fills the box), so this leg
         # measures on the 300-step-trained ellipsoid model.
-        from nphm_tpu.reconstruction.sparse import (
-            _probe_lip, extract_mesh_sparse,
-        )
+        from nphm_tpu.reconstruction.extract import extract_mesh_streamed
+        from nphm_tpu.reconstruction.sparse import extract_mesh_sparse
 
         tdec, tparams, tlat = st["trained"]
-        # the library's own finite-difference probe (one formula, one
-        # margin semantics); capped for timing realism — an
-        # eikonal-trained SDF has ||grad|| ~= 1, and this leg's
-        # 300-step model is only partially there
-        lip = _probe_lip(
-            tdec, tparams, tlat, GRID_MIN, GRID_MAX,
-            use_pallas=True, interpret=False, kw_items=(),
-        )
-        lip = min(lip, 4.0) * 1.25
+        # lip="auto": the library's own sound setting (probe * 2 margin).
+        # The r04 bench capped the probe at 5.0 while the in-run probe read
+        # >= 5.44, so every run warned that the coarse pass may have
+        # dropped surface blocks (VERDICT r4 weak #4) — the timing then
+        # measured a configuration the library itself flags as unsound.
         for res in (256, 400):
             if res == 400 and os.environ.get("BENCH_NO_R400") == "1":
                 continue
             stats = {}
-            kw = dict(lip=lip, transfer_dtype=np.float16, stats=stats)
+            kw = dict(lip="auto", transfer_dtype=np.float16, stats=stats)
             extract_mesh_sparse(
                 tdec, tparams, tlat, GRID_MIN, GRID_MAX, res, **kw
             )  # warm/compile
@@ -431,6 +426,19 @@ def main():
                 f"{stats['n_transferred']}/{stats['n_candidates']}"
                 f"/{stats['n_blocks']}"
             )
+            extra[f"sparse{res}_lip_auto"] = round(stats["lip_auto"], 2)
+        # soundness check IN the artifact: the sparse mesh of this trained
+        # field must reproduce the dense-streamed mesh's vertex count
+        # (tests/test_sparse_extract.py pins bit-exactness on CPU; this
+        # pins it on hardware, same field, same f16 transfer)
+        mesh_ref = extract_mesh_streamed(
+            tdec, tparams, tlat, GRID_MIN, GRID_MAX, 256,
+            transfer_dtype=np.float16,
+        )
+        extra["sparse256_ref_verts"] = int(len(mesh_ref.vertices))
+        extra["sparse256_matches_dense"] = bool(
+            extra["sparse256_verts"] == len(mesh_ref.vertices)
+        )
 
     if os.environ.get("BENCH_NO_SPARSE") != "1":
         if "trained" in st:
@@ -463,6 +471,10 @@ def main():
         )
         extra["npm_res128_sample_s"] = round(time.perf_counter() - t0, 3)
         extra["npm_verts"] = int(len(mesh_npm.vertices))
+        # workload proxy, not a capability claim: a random-init NPM field is
+        # near-constant in the box, so iso-0 yields an empty mesh — the
+        # median iso makes marching do representative work (VERDICT r4 #7)
+        extra["npm_iso"] = "median(random-init field), not the reference iso-0"
 
     if use_pallas and os.environ.get("BENCH_NO_NPM") != "1":
         _guard(extra, "npm", leg_npm, optional=True)
@@ -549,7 +561,7 @@ def main():
     # the driver consumes the LAST printed line
     emit()
 
-    def leg_protocol():
+    def leg_protocol(proto_timeout):
         # VERDICT r2 item 1: the reference's ACTUAL deliverable — the full
         # 23-identity fit -> extract -> deform -> eval -> gather protocol,
         # end to end through the public CLIs at production model dims
@@ -563,8 +575,7 @@ def main():
              "--fit_steps", os.environ.get("BENCH_PROTO_FIT_STEPS", "1000"),
              "--num_samps", os.environ.get("BENCH_PROTO_NUM_SAMPS", "25000"),
              "--batch_subjects", "8", "--resolution", "256"],
-            capture_output=True, text=True,
-            timeout=float(os.environ.get("BENCH_PROTO_TIMEOUT", 5400)),
+            capture_output=True, text=True, timeout=proto_timeout,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         lines = [
@@ -579,10 +590,24 @@ def main():
             }
 
     if use_pallas and os.environ.get("BENCH_NO_PROTO") != "1":
-        # not deadline-gated: the protocol IS the deliverable (VERDICT r2
-        # item 1) and the artifact line above is already safe if the
-        # harness cuts this run short
-        _guard(extra, "protocol", leg_protocol)
+        # Budget-gated so bench EXITS CLEANLY inside the driver's wall
+        # clock (r04 was the project's first rc=124: a mid-protocol kill
+        # leaves the pre-emitted line but drops the protocol results and
+        # flags the round).  The protocol only starts if enough of the
+        # hard budget remains, and its subprocess timeout is clamped to
+        # the remainder; a skip is recorded honestly.
+        hard = float(os.environ.get("BENCH_HARD_BUDGET_S", 3300))
+        remaining = hard - (time.time() - _T_START)
+        if remaining > float(os.environ.get("BENCH_PROTO_MIN_S", 900)):
+            proto_timeout = min(
+                float(os.environ.get("BENCH_PROTO_TIMEOUT", 5400)),
+                remaining - 120,
+            )
+            _guard(extra, "protocol", lambda: leg_protocol(proto_timeout))
+        else:
+            extra["protocol_skipped"] = (
+                f"only {remaining:.0f}s of {hard:.0f}s budget left"
+            )
         emit()  # re-emit with the protocol results merged
 
 

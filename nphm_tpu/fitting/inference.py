@@ -356,6 +356,14 @@ def _use_fused_search(decoder_expr, cfg: FittingConfig, mesh=None) -> bool:
     return True
 
 
+# Memoized kernel-downgrade outcomes: (tag, decoders, cfg) -> the flag
+# overrides that made the program build.  A kernel-compile failure is a
+# deterministic property of (kernel, shapes, config), so rediscovering it
+# per fit call just repays a doomed trace/compile — the r04 driver bench
+# paid FOUR rediscoveries (eight program builds) and timed out.
+_KERNEL_FALLBACK_CACHE: Dict = {}
+
+
 def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
                            decoder_expr=None):
     """Execute a cached fit runner, materializing every output.
@@ -365,34 +373,49 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
 
     If the fused-kernel variant fails to COMPILE (tiny architectures hit a
     Mosaic "only constant accumulators supported" error — see
-    .claude/skills/verify/SKILL.md), rebuild the program on the XLA path
-    and retry once.  Only kernel-compile signatures (ops/fallback.py)
-    trigger the fallback: a genuine runtime failure (OOM, worker crash,
-    NaN guard) must surface immediately rather than be replayed — more
-    slowly — on XLA, and must reach ``fit_joint_batch_resilient``'s
-    bisection untouched.  Returns (materialized outputs, elapsed seconds
-    of the successful run).
+    .claude/skills/verify/SKILL.md), rebuild on a DOWNGRADED path and
+    retry — one kernel at a time: first drop ``fused_search`` (keeping the
+    proven fit kernel), then ``fused_shape_fields`` (the r04 all-or-nothing
+    fallback threw away ~40% fit throughput when only the search kernel
+    failed).  The winning downgrade is memoized per (tag, decoders, cfg) so
+    subsequent calls in the process skip the doomed builds entirely.  Only
+    kernel-compile signatures (ops/fallback.py) trigger the fallback: a
+    genuine runtime failure (OOM, worker crash, NaN guard) must surface
+    immediately rather than be replayed — more slowly — on XLA, and must
+    reach ``fit_joint_batch_resilient``'s bisection untouched.  Returns
+    (materialized outputs, elapsed seconds of the successful run).
     """
-    t0 = time.time()
-    try:
-        out = driver(make_run(cfg))
-        return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
-    except Exception as e:  # noqa: BLE001 — the relay wraps compile errors
-        any_kernel = _shape_fields_fn(decoder_shape, cfg, mesh) is not None or (
-            decoder_expr is not None and _use_fused_search(decoder_expr, cfg, mesh)
-        )
-        if not kernel_compile_error(e) or not any_kernel:
-            raise
-        print(
-            f"[{tag}] fused-kernel fit program failed "
-            f"({type(e).__name__}); retrying on the XLA path"
-        )
-        cfg = dataclasses.replace(
-            cfg, fused_shape_fields="off", fused_search="off"
-        )
+    key = (tag, decoder_shape, decoder_expr, mesh is None, cfg)
+    overrides = dict(_KERNEL_FALLBACK_CACHE.get(key, ()))
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    while True:
         t0 = time.time()
-        out = driver(make_run(cfg))
-        return jax.tree_util.tree_map(np.asarray, out), time.time() - t0
+        try:
+            out = driver(make_run(cfg))
+            out = jax.tree_util.tree_map(np.asarray, out), time.time() - t0
+            if overrides:
+                _KERNEL_FALLBACK_CACHE[key] = tuple(sorted(overrides.items()))
+            return out
+        except Exception as e:  # noqa: BLE001 — the relay wraps compile errors
+            if not kernel_compile_error(e):
+                raise
+            search_on = decoder_expr is not None and _use_fused_search(
+                decoder_expr, cfg, mesh
+            )
+            fields_on = _shape_fields_fn(decoder_shape, cfg, mesh) is not None
+            if search_on:
+                step = {"fused_search": "off"}
+            elif fields_on:
+                step = {"fused_shape_fields": "off"}
+            else:
+                raise  # pure-XLA program failed: nothing left to downgrade
+            overrides.update(step)
+            print(
+                f"[{tag}] fused-kernel fit program failed "
+                f"({type(e).__name__}); retrying with {step}"
+            )
+            cfg = dataclasses.replace(cfg, **step)
 
 
 def _fit_segments(cfg: FittingConfig, decoder_shape, total: int):

@@ -53,6 +53,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -171,7 +172,13 @@ def _make_search_kernel(tcfg: DeepSDFConfig, tile: int, n_real: int,
         xb_ref, bn_ref, ji_ref, act_ref, it_ref = refs[n_ops + 3 :]
         op = {}
         for (i, role), ref in zip(layout, op_refs):
-            op[(i, role)] = ref[:]
+            # per-obs biases arrive as [H, 128] lane-broadcast panels (see
+            # the block-spec note in broyden_search_pallas); one column is
+            # the whole bias
+            if role in ("bias0", "biasS"):
+                op[(i, role)] = ref[:, 0:1]
+            else:
+                op[(i, role)] = ref[:]
         obs = obs_ref[:]  # [3, T]
 
         def fwd(x):
@@ -330,19 +337,35 @@ def broyden_search_pallas(
         params_trunk, tcfg, sg(cond)
     ))
     layout = _op_layout(tcfg)
-    # biases [B, H] -> [H, B] so one obs's column is an [H, 1] block
+    # Per-obs biases [B, H] -> per-TILE 128-lane broadcast panels
+    # [H, n_t * 128].  Mosaic's lowering requires the last block dim to be
+    # a multiple of 128 OR the full array dim, so the obvious per-obs
+    # [H, 1] column block over [H, B] is NOT lowerable for B > 1 — exactly
+    # the r04 driver-bench failure (interpret-mode tests don't check block
+    # shapes; tests/test_pallas_search.py now asserts the Mosaic rule on
+    # every spec).  Each tile's panel repeats its obs's bias across 128
+    # lanes; the kernel reads column 0.  Cost: n_t*128*H*4 bytes of HBM
+    # (~1.3 MB at production fit dims) staged once per kernel invocation.
+    obs_of_tile = np.asarray(np.arange(n_t) // tpo)
+
+    def _bias_panels(arr_bh):  # [B, H] -> [H, n_t * 128]
+        cols = arr_bh.T[:, obs_of_tile]  # [H, n_t]
+        return jnp.broadcast_to(
+            cols[:, :, None], cols.shape + (128,)
+        ).reshape(cols.shape[0], n_t * 128)
+
     ops = tuple(
-        arr.T if role in ("bias0", "biasS") else arr
+        _bias_panels(arr) if role in ("bias0", "biasS") else arr
         for (_, role), arr in zip(layout, ops)
     )
 
     op_specs = []
     for (_, role), arr in zip(layout, ops):
-        if role in ("bias0", "biasS"):  # [H, B]: this tile's obs column
+        if role in ("bias0", "biasS"):  # [H, n_t*128]: this tile's panel
             op_specs.append(
                 pl.BlockSpec(
-                    (arr.shape[0], 1),
-                    lambda t: (0, t // tpo),
+                    (arr.shape[0], 128),
+                    lambda t: (0, t),
                     memory_space=pltpu.VMEM,
                 )
             )
@@ -387,6 +410,13 @@ def broyden_search_pallas(
             jax.ShapeDtypeStruct((1, P), jnp.float32),
             jax.ShapeDtypeStruct((1, n_t), jnp.int32),
         ],
+        # The resident trunk weights + per-iteration activations at
+        # tile=1024 need ~24 MB of scoped VMEM at production dims — over
+        # Mosaic's conservative 16 MB default but well inside the chip's
+        # physical VMEM (128 MB on v5e).  Without this the r05 bench-dims
+        # program died at AOT compile with "Ran out of memory in memory
+        # space vmem ... 24.35M and limit 16.00M".
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(niter_arr, *ops, obs_t, x0_t, j0_t)
 

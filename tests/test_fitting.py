@@ -709,3 +709,92 @@ def test_backend_crash_error_classification():
         assert backend_crash_error(e), e
     for e in misses:
         assert not backend_crash_error(e), e
+
+
+def test_staged_memoized_kernel_fallback():
+    """VERDICT r4 items 1-2: a kernel-compile failure downgrades ONE flag at
+    a time (search first, then the fit kernel) and the outcome is memoized —
+    later calls with the same (decoders, cfg) skip the doomed builds."""
+    from nphm_tpu.fitting.inference import (
+        _KERNEL_FALLBACK_CACHE,
+        _coerce_cfg,
+        _run_with_xla_fallback,
+    )
+    from nphm_tpu.models import (
+        DeformationConfig,
+        NPHMConfig,
+        make_deformation_decoder,
+        make_nphm_decoder,
+    )
+
+    shape_dec = make_nphm_decoder(
+        NPHMConfig(
+            lat_dim_glob=16, lat_dim_loc=8, n_loc=7, n_symm_pairs=3,
+            hidden_dim=40, n_layers=4, pos_mlp_dim=32,
+        ),
+        np.zeros((7, 3), np.float32),
+    )
+    expr_dec = make_deformation_decoder(
+        DeformationConfig(
+            mode="compress", lat_dim_glob_shape=16, lat_dim_loc_shape=8,
+            n_loc=7, lat_dim_expr=8, lat_dim_id=8, hidden_dim=48, n_layers=4,
+        )
+    )
+    cfg0 = _coerce_cfg(
+        FittingConfig(fused_search="on", fused_shape_fields="on")
+    )
+    attempts = []
+
+    def make_run(cfg):
+        def run():
+            attempts.append((cfg.fused_search, cfg.fused_shape_fields))
+            if cfg.fused_search != "off":
+                raise RuntimeError("Mosaic failed to compile TPU kernel")
+            return {"ok": jnp.ones(())}
+        return run
+
+    driver = lambda run_fn: run_fn()  # noqa: E731
+    _KERNEL_FALLBACK_CACHE.clear()
+    out, _ = _run_with_xla_fallback(
+        make_run, cfg0, shape_dec, driver, "test", decoder_expr=expr_dec
+    )
+    # staged: ONE downgrade (search off), fit kernel kept
+    assert attempts == [("on", "on"), ("off", "on")]
+    assert float(out["ok"]) == 1.0
+
+    # memoized: the second call skips the doomed fused-search build
+    attempts.clear()
+    out, _ = _run_with_xla_fallback(
+        make_run, cfg0, shape_dec, driver, "test", decoder_expr=expr_dec
+    )
+    assert attempts == [("off", "on")]
+
+    # both kernels doomed -> search off, then fields off
+    def make_run_both(cfg):
+        def run():
+            attempts.append((cfg.fused_search, cfg.fused_shape_fields))
+            if cfg.fused_search != "off" or cfg.fused_shape_fields != "off":
+                raise ValueError("error in pallas_call lowering")
+            return {"ok": jnp.ones(())}
+        return run
+
+    attempts.clear()
+    _KERNEL_FALLBACK_CACHE.clear()
+    out, _ = _run_with_xla_fallback(
+        make_run_both, cfg0, shape_dec, driver, "test2", decoder_expr=expr_dec
+    )
+    assert attempts == [("on", "on"), ("off", "on"), ("off", "off")]
+
+    # a non-kernel failure must surface immediately, never downgrade
+    def make_run_crash(cfg):
+        def run():
+            raise RuntimeError("TPU worker process crashed or restarted")
+        return run
+
+    _KERNEL_FALLBACK_CACHE.clear()
+    with pytest.raises(RuntimeError, match="crashed"):
+        _run_with_xla_fallback(
+            make_run_crash, cfg0, shape_dec, driver, "test3",
+            decoder_expr=expr_dec,
+        )
+    _KERNEL_FALLBACK_CACHE.clear()
