@@ -101,19 +101,70 @@ static inline void emit_tri(Chunk& ch, const V3 p[3], const int64_t key[3],
 
 // March the cells [x0, x1) x [y0, y1) x [z0, z1) of ``g`` (local coords);
 // cell (x, y, z) spans local voxels (x..x+1, y..y+1, z..z+1).
+//
+// Hot-path structure: on a res-256 dense grid ~99% of cells have no sign
+// change, and the naive reject costs 8 scattered float loads per cell (each
+// voxel is re-read by all 8 cells it touches).  Instead we precompute one
+// sign byte per voxel per x-plane (a single vectorizable compare pass, each
+// voxel loaded once), fold the 4 corner columns of a cell row into or/and
+// byte rows, and test ``straddle = (or8 != 0) && (and8 != 1)`` 8 cells at a
+// time via word loads.  Cells are still visited in the identical (x, y, z)
+// order and re-read their 8 float corners on the slow path, so the emitted
+// geometry is bit-identical to the naive loop — this is purely a skip
+// accelerator (the host here has one core; see bench host_mc notes).
 static void march_cells(const Grid& g, int x0, int x1, int y0, int y1,
                         int z0, int z1, Chunk& ch) {
   const float iso = g.iso;
   // corner offsets by id = 4x+2y+z
   const int off[8][3] = {{0, 0, 0}, {0, 0, 1}, {0, 1, 0}, {0, 1, 1},
                          {1, 0, 0}, {1, 0, 1}, {1, 1, 0}, {1, 1, 1}};
+  const int ny = y1 - y0 + 1;       // voxel rows touched per plane
+  const int nz = z1 - z0 + 1;       // voxels per row (cells + 1)
+  const size_t plane_sz = (size_t)ny * nz;
+  // sign[v > iso] per voxel for plane x and x+1, plus or/and scratch rows
+  std::vector<uint8_t> sbuf(2 * plane_sz), orrow(nz), androw(nz),
+      strad(nz > 0 ? nz - 1 : 0);
+  uint8_t* splane[2] = {sbuf.data(), sbuf.data() + plane_sz};
+  auto fill_plane = [&](int x, uint8_t* dst) {
+    for (int y = 0; y < ny; ++y) {
+      const float* col = g.data + ((int64_t)x * g.ly + (y0 + y)) * g.lz + z0;
+      uint8_t* row = dst + (size_t)y * nz;
+      for (int z = 0; z < nz; ++z) row[z] = col[z] > iso ? 1 : 0;
+    }
+  };
+  if (x0 < x1) fill_plane(x0, splane[0]);
   for (int x = x0; x < x1; ++x) {
+    fill_plane(x + 1, splane[(x - x0 + 1) & 1]);
+    const uint8_t* s0 = splane[(x - x0) & 1];
+    const uint8_t* s1 = splane[(x - x0 + 1) & 1];
     for (int y = y0; y < y1; ++y) {
       const float* col0 = g.data + ((int64_t)x * g.ly + y) * g.lz;
       const float* col1 = g.data + ((int64_t)x * g.ly + y + 1) * g.lz;
       const float* col2 = g.data + ((int64_t)(x + 1) * g.ly + y) * g.lz;
       const float* col3 = g.data + ((int64_t)(x + 1) * g.ly + y + 1) * g.lz;
-      for (int z = z0; z < z1; ++z) {
+      const uint8_t* r00 = s0 + (size_t)(y - y0) * nz;
+      const uint8_t* r01 = r00 + nz;
+      const uint8_t* r10 = s1 + (size_t)(y - y0) * nz;
+      const uint8_t* r11 = r10 + nz;
+      for (int z = 0; z < nz; ++z) {
+        uint8_t a = r00[z], b = r01[z], c = r10[z], d = r11[z];
+        orrow[z] = a | b | c | d;
+        androw[z] = a & b & c & d;
+      }
+      for (int z = 0; z + 1 < nz; ++z)
+        strad[z] = (uint8_t)((orrow[z] | orrow[z + 1]) &
+                             ((androw[z] & androw[z + 1]) ^ 1));
+      for (int zc = 0; zc + 1 < nz; ++zc) {
+        // word-level skip over runs of non-straddling cells
+        while (zc + 8 <= nz - 1) {
+          uint64_t w;
+          std::memcpy(&w, &strad[zc], 8);
+          if (w) break;
+          zc += 8;
+        }
+        if (zc + 1 >= nz) break;
+        if (!strad[zc]) continue;
+        const int z = z0 + zc;
         float v[8];
         v[0] = col0[z];     // (0,0,0)
         v[1] = col0[z + 1]; // (0,0,1)
@@ -123,12 +174,6 @@ static void march_cells(const Grid& g, int x0, int x1, int y0, int y1,
         v[5] = col2[z + 1];
         v[6] = col3[z];     // (1,1,0)
         v[7] = col3[z + 1];
-        // fast reject: no sign change in the cube
-        bool any_in = false, any_out = false;
-        for (int k = 0; k < 8; ++k) {
-          if (v[k] > iso) any_in = true; else any_out = true;
-        }
-        if (!any_in || !any_out) continue;
 
         V3 p[8];
         int64_t gk[8];
