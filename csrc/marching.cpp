@@ -293,15 +293,20 @@ struct FlatMap {
 };
 
 // Merge per-thread chunks with global vertex dedup on edge keys.
+// out_keys (optional): the global edge key per emitted vertex, so callers
+// marching a PARTIAL lattice window can weld seams against other windows
+// exactly (the streamed extractor's slab merge).
 static int merge_chunks(std::vector<Chunk>& chunks, float** out_verts,
                         int64_t* n_verts, int32_t** out_faces,
-                        int64_t* n_faces) {
+                        int64_t* n_faces, int64_t** out_keys = nullptr) {
   size_t tot_tris = 0;
   for (auto& ch : chunks) tot_tris += ch.tris.size() / 3;
   FlatMap vmap(tot_tris);
 
   std::vector<float> verts;
   verts.reserve(tot_tris * 2);
+  std::vector<int64_t> keys;
+  if (out_keys) keys.reserve(tot_tris / 2 + 16);
   std::vector<int32_t> faces;
   faces.reserve(tot_tris * 3);
 
@@ -316,6 +321,7 @@ static int merge_chunks(std::vector<Chunk>& chunks, float** out_verts,
         verts.push_back(ch.verts[3 * i]);
         verts.push_back(ch.verts[3 * i + 1]);
         verts.push_back(ch.verts[3 * i + 2]);
+        if (out_keys) keys.push_back(ch.vkeys[i]);
         remap[i] = id;
       } else {
         remap[i] = slot;
@@ -339,6 +345,11 @@ static int merge_chunks(std::vector<Chunk>& chunks, float** out_verts,
   if ((verts.size() && !*out_verts) || (faces.size() && !*out_faces)) return -1;
   std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
   std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
+  if (out_keys) {
+    *out_keys = (int64_t*)std::malloc(keys.size() * sizeof(int64_t));
+    if (keys.size() && !*out_keys) return -1;
+    std::memcpy(*out_keys, keys.data(), keys.size() * sizeof(int64_t));
+  }
   return 0;
 }
 
@@ -369,6 +380,51 @@ int nphm_marching_tets(const float* grid, int rx, int ry, int rz, float iso,
   }
   for (auto& t : threads) t.join();
   return merge_chunks(chunks, out_verts, n_verts, out_faces, n_faces);
+}
+
+// Windowed dense marching: march the [lx, ly, lz] local window of a
+// conceptual rx * ry * rz lattice whose local (0,0,0) sits at global voxel
+// (ox, oy, oz).  Cell coordinates, interpolation, and edge keys are all
+// GLOBAL, and ``out_keys`` returns the per-vertex edge key, so disjoint
+// windows (e.g. the streamed extractor's x-slabs, each with one +x halo
+// plane) weld into exactly the mesh the full dense pass would emit — same
+// vertex positions bit-for-bit, no positional dedup needed.
+int nphm_marching_tets_window(const float* grid, int lx, int ly, int lz,
+                              int64_t ox, int64_t oy, int64_t oz,
+                              int64_t rx, int64_t ry, int64_t rz, float iso,
+                              float** out_verts, int64_t** out_keys,
+                              int64_t* n_verts, int32_t** out_faces,
+                              int64_t* n_faces) {
+  Grid g{grid, lx, ly, lz, ox, oy, oz, rx, ry, rz, iso};
+  // owned cells, clamped at the global lattice boundary
+  int cx = lx - 1, cy = ly - 1, cz = lz - 1;
+  if (ox + cx > rx - 1) cx = (int)(rx - 1 - ox);
+  if (oy + cy > ry - 1) cy = (int)(ry - 1 - oy);
+  if (oz + cz > rz - 1) cz = (int)(rz - 1 - oz);
+  if (cx <= 0 || cy <= 0 || cz <= 0) {
+    *n_verts = *n_faces = 0;
+    *out_verts = nullptr;
+    *out_faces = nullptr;
+    *out_keys = nullptr;
+    return 0;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = hw ? (int)hw : 4;
+  if (n_threads > cz) n_threads = cz;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<Chunk> chunks(n_threads);
+  std::vector<std::thread> threads;
+  int per = (cz + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int z0 = i * per;
+    int z1 = z0 + per < cz ? z0 + per : cz;
+    if (z0 >= z1) continue;
+    threads.emplace_back(march_cells, std::cref(g), 0, cx, 0, cy, z0, z1,
+                         std::ref(chunks[i]));
+  }
+  for (auto& t : threads) t.join();
+  return merge_chunks(chunks, out_verts, n_verts, out_faces, n_faces,
+                      out_keys);
 }
 
 // Sparse-block marching: ``blocks`` is [n_blocks, bsx+1, bsy+1, bsz+1]

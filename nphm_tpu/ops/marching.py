@@ -53,6 +53,62 @@ def marching_tets(grid: np.ndarray, iso: float = 0.0):
     return verts, faces
 
 
+def marching_tets_window(
+    grid: np.ndarray,
+    offset,
+    global_dims,
+    iso: float = 0.0,
+):
+    """Dense marching over a local window of a larger conceptual lattice.
+
+    grid: [lx, ly, lz] float32 window whose local (0, 0, 0) sits at global
+    voxel ``offset``; cells clamp at ``global_dims``.  Coordinates,
+    interpolation, and edge keys are all GLOBAL, and the per-vertex edge
+    keys are returned, so disjoint windows (e.g. x-slabs sharing one halo
+    plane) weld into exactly the mesh a full dense pass would emit.
+    Returns (vertices [V, 3] f32 global grid-index coords, keys [V] int64,
+    faces [F, 3] int32).
+    """
+    grid = np.ascontiguousarray(grid, np.float32)
+    if grid.ndim != 3:
+        raise ValueError(f"grid must be 3-D, got {grid.shape}")
+    lib = get_lib()
+    vp = ctypes.POINTER(ctypes.c_float)()
+    kp = ctypes.POINTER(ctypes.c_int64)()
+    fp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.nphm_marching_tets_window(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        grid.shape[0],
+        grid.shape[1],
+        grid.shape[2],
+        ctypes.c_int64(int(offset[0])),
+        ctypes.c_int64(int(offset[1])),
+        ctypes.c_int64(int(offset[2])),
+        ctypes.c_int64(int(global_dims[0])),
+        ctypes.c_int64(int(global_dims[1])),
+        ctypes.c_int64(int(global_dims[2])),
+        ctypes.c_float(iso),
+        ctypes.byref(vp),
+        ctypes.byref(kp),
+        ctypes.byref(nv),
+        ctypes.byref(fp),
+        ctypes.byref(nf),
+    )
+    if rc != 0:
+        raise RuntimeError(f"marching_tets_window failed with code {rc}")
+    try:
+        verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy() if nv.value else np.zeros((0, 3), np.float32)
+        keys = np.ctypeslib.as_array(kp, shape=(nv.value,)).copy() if nv.value else np.zeros((0,), np.int64)
+        faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy() if nf.value else np.zeros((0, 3), np.int32)
+    finally:
+        lib.nphm_free(vp)
+        lib.nphm_free(kp)
+        lib.nphm_free(fp)
+    return verts, keys, faces
+
+
 def marching_tets_blocks(
     blocks: np.ndarray,
     offsets: np.ndarray,

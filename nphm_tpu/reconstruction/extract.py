@@ -558,7 +558,7 @@ def extract_mesh_streamed(
     """
     import concurrent.futures as cf
 
-    from nphm_tpu.ops.marching import marching_tets
+    from nphm_tpu.ops.marching import marching_tets_window
     from nphm_tpu.ops.pallas_ensemble import DEFAULT_TILE, _brick_shape
 
     interpret = kernel_kw.pop("interpret", None)
@@ -608,9 +608,16 @@ def extract_mesh_streamed(
     ]
 
     def mc_slab(k: int, grid: np.ndarray):
-        verts, faces = marching_tets(-grid.astype(np.float32), 0.0)
-        verts[:, 0] += k * h  # slab x-offset in grid-index coords
-        return verts, faces
+        # March the slab as a WINDOW of the global lattice (global cell
+        # coordinates, global edge keys): interpolation rounds exactly like
+        # the dense pass (a local-coords march plus a post-hoc x-offset add
+        # does NOT — float addition reorders), and the keys let the slab
+        # meshes weld exactly instead of by positional dedup, which merged
+        # coincident-position vertices from distinct edges that the dense
+        # and sparse paths keep separate.
+        return marching_tets_window(
+            -grid.astype(np.float32), (k * h, 0, 0), (res, res, res), 0.0
+        )
 
     slabs: list = [None] * n_slabs
     jobs = []
@@ -625,17 +632,19 @@ def extract_mesh_streamed(
         jobs.append(ex.submit(mc_slab, n_slabs - 1, slabs[n_slabs - 1]))
         parts = [j.result() for j in jobs]
 
-    # concatenate and weld the (bit-identical) shared-plane vertices
+    # weld slab seams on global edge keys (duplicate keys carry
+    # bit-identical positions, so taking the first occurrence is exact)
     all_faces = []
     offset = 0
-    for verts, faces in parts:
+    for verts, _, faces in parts:
         all_faces.append(faces.astype(np.int64) + offset)
         offset += len(verts)
-    verts = np.concatenate([v for v, _ in parts], axis=0)
+    verts = np.concatenate([v for v, _, _ in parts], axis=0)
+    keys = np.concatenate([k_ for _, k_, _ in parts], axis=0)
     faces = np.concatenate(all_faces, axis=0)
-    uniq, inverse = np.unique(verts, axis=0, return_inverse=True)
+    _, first, inverse = np.unique(keys, return_index=True, return_inverse=True)
     faces = inverse[faces]
-    uniq = uniq * step[None, :] + np.asarray(mini, np.float32)[None, :]
+    uniq = verts[first] * step[None, :] + np.asarray(mini, np.float32)[None, :]
     return TriMesh(uniq.astype(np.float32), faces)
 
 

@@ -389,7 +389,11 @@ def test_fit_joint_fused_failure_falls_back_to_xla(monkeypatch, capsys):
         lambdas={"surface": 2.0, "reg_expr": 1e-4, "reg_global": 1e-4},
         cfg=cfg, verbose=False,
     )
-    assert "retrying on the XLA path" in capsys.readouterr().out
+    # staged fallback (VERDICT r4 item 2): only the failing flag is
+    # downgraded, one at a time
+    assert "retrying with {'fused_shape_fields': 'off'}" in (
+        capsys.readouterr().out
+    )
     assert np.isfinite(hist["loss"]).all()
     assert lat_s.shape == (1, 4)
 

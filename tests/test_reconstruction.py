@@ -247,10 +247,16 @@ def test_streamed_extraction_matches_full():
             dec, params, lat, mini, maxi, 32, n_slabs=n_slabs
         )
         assert len(streamed.faces) == len(full.faces)
+        # EXACT vertex-set equality: slabs march as windows of the global
+        # lattice (global coords + global edge keys in csrc/marching.cpp),
+        # so the streamed mesh is bit-identical to the one-shot mesh — a
+        # local-coords march plus a post-hoc x-offset add rounded ~3% of
+        # vertex positions differently at production dims (r05 hardware
+        # probe) before this convention.
+        assert len(streamed.vertices) == len(full.vertices)
         vf = np.unique(np.asarray(full.vertices, np.float32), axis=0)
         vs = np.unique(np.asarray(streamed.vertices, np.float32), axis=0)
-        assert vf.shape == vs.shape
-        np.testing.assert_allclose(vf, vs, atol=1e-6)
+        assert np.array_equal(vf, vs)
 
         def area(m):
             t = m.vertices[m.faces]

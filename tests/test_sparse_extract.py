@@ -131,6 +131,43 @@ def test_sparse_f16_transfer_close(tiny_nphm):
     assert d.max() < 2e-2
 
 
+def test_all_extraction_paths_exact_parity(tiny_nphm):
+    """Dense, streamed, and sparse extraction emit the IDENTICAL vertex set
+    at matched transfer dtype — the three-path convention the driver bench
+    asserts on hardware (bench.py sparse leg).  Requires global-coordinate
+    window marching in the streamed path (csrc marching_tets_window): the
+    old local-coords march + post-hoc x-offset add rounded ~3% of vertex
+    positions differently, and its positional seam dedup merged
+    coincident-position vertices from distinct edges (r05 hardware probe:
+    421050 vs 421042 verts on a trained production-dims field)."""
+    from nphm_tpu.reconstruction.extract import (
+        extract_mesh_streamed,
+        pallas_grid_logits,
+    )
+
+    cfg, dec, params, lat = tiny_nphm
+    for dt in (None, np.float16):
+        logits = pallas_grid_logits(
+            dec, params, np.asarray(lat)[None], MINI, MAXI, RES,
+            transfer_dtype=dt, tile=1024, interpret=True,
+        )
+        dense = mesh_from_logits(logits, MINI, MAXI, RES)
+        streamed = extract_mesh_streamed(
+            dec, params, lat, MINI, MAXI, RES, transfer_dtype=dt,
+            tile=1024, n_slabs=3, interpret=True,
+        )
+        sparse = extract_mesh_sparse(
+            dec, params, lat, MINI, MAXI, RES, lip="auto",
+            transfer_dtype=dt, interpret=True,
+        )
+        assert len(dense.vertices) == len(streamed.vertices) == len(
+            sparse.vertices
+        )
+        vd = _sorted(dense.vertices)
+        assert np.array_equal(vd, _sorted(streamed.vertices))
+        assert np.array_equal(vd, _sorted(sparse.vertices))
+
+
 def test_sparse_empty_field(tiny_nphm):
     """A latent scaled far out of distribution may still cross zero, so use
     an explicit constant-sign check: shift the box outside the head."""
