@@ -342,7 +342,10 @@ def _use_fused_search(decoder_expr, cfg: FittingConfig, mesh=None) -> bool:
         return False
     if not (cfg.warm_jacobian_store or cfg.warm_identity_jacobian):
         return False
-    from nphm_tpu.ops.pallas_search import search_fusable
+    from nphm_tpu.ops.pallas_search import (
+        search_fusable,
+        search_vmem_estimate,
+    )
 
     if not search_fusable(decoder_expr):
         return False
@@ -352,6 +355,16 @@ def _use_fused_search(decoder_expr, cfg: FittingConfig, mesh=None) -> bool:
             if mesh is not None
             else jax.default_backend()
         )
+        # Oversized trunks cannot hold their weights VMEM-resident: the NPM
+        # family's 8x1024 offsets net (estimate 48 MB; Mosaic's real scoped
+        # need runs ~1.6x the estimate — the 8x512 NPHM trunk estimates
+        # 15 MB and measures ~24 MB) fails the compile at production dims
+        # (r05 npm_fit_ab.py: every NPM fit fell back), so "auto" skips the
+        # doomed build.  32 MB = 2x the known-good NPHM estimate, safely
+        # under the 64 MB vmem_limit_bytes after the ~1.6x scale-up; "on"
+        # still forces a try (the staged fallback catches failures).
+        if search_vmem_estimate(decoder_expr) > (32 << 20):
+            return False
         return plat == "tpu"
     return True
 

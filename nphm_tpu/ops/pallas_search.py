@@ -491,21 +491,55 @@ def search_pallas(
 
 
 @functools.lru_cache(maxsize=None)
-def search_fusable(decoder_expr) -> bool:
-    """Is this expression decoder's search kernel-eligible?
-
-    Needs a DeepSDF trunk over raw xyz with row-constant conditioning
-    (every DeformationConfig mode except the per-point 'interpolate', plus
-    the NPM family's bare-DeepSDF offsets net) and a >=3-d offset head.
-    """
+def _search_trunk_cfg(decoder_expr):
+    """The DeepSDF trunk config the fused search would run, or None."""
     kind = getattr(decoder_expr, "kind", None)
     if kind == "deformation_npm":
         tcfg = decoder_expr.cfg
     elif kind == "deformation":
         dcfg = decoder_expr.cfg
         if dcfg.mode == "interpolate":
-            return False
+            return None
         tcfg = dcfg.trunk_cfg
     else:
-        return False
-    return tcfg.d_in_spatial == 3 and tcfg.out_dim >= 3
+        return None
+    if tcfg.d_in_spatial != 3 or tcfg.out_dim < 3:
+        return None
+    return tcfg
+
+
+def search_fusable(decoder_expr) -> bool:
+    """Is this expression decoder's search kernel-eligible?
+
+    Needs a DeepSDF trunk over raw xyz with row-constant conditioning
+    (every DeformationConfig mode except the per-point 'interpolate', plus
+    the NPM family's bare-DeepSDF offsets net) and a >=3-d offset head.
+    Eligibility only — whether the kernel FITS is `search_vmem_estimate`.
+    """
+    return _search_trunk_cfg(decoder_expr) is not None
+
+
+def search_vmem_estimate(decoder_expr, tile: int = DEFAULT_TILE) -> int:
+    """Rough scoped-VMEM bytes the fused search kernel needs: the resident
+    trunk weights plus the per-iteration activation/state buffers.
+
+    The kernel keeps EVERY trunk weight VMEM-resident for the whole search
+    (that is the point: zero HBM traffic per Broyden iteration).  The NPHM
+    deformation trunk (8 x 512) needs ~24 MB total and compiles inside the
+    64 MB vmem_limit_bytes; the NPM family's 8 x 1024 offsets net needs
+    ~28 MB of weights + ~4 MB per [H, tile] activation buffer and FAILS to
+    compile at production dims (measured r05: `npm_fit_ab.py` — every NPM
+    fit fell back to the XLA search).  `_use_fused_search`'s "auto" mode
+    gates on this estimate so oversized trunks skip the doomed compile
+    instead of paying one per process; `fused_search="on"` still forces a
+    try (the staged fallback in inference.py catches genuine failures).
+    """
+    tcfg = _search_trunk_cfg(decoder_expr)
+    if tcfg is None:
+        return 0
+    shapes, _ = tcfg.layer_shapes
+    weight_floats = sum(int(np.prod(s)) for s in shapes)
+    # fwd keeps ~4 live [H, tile] buffers (x, h, skip stash, residual) plus
+    # the [3/9, tile] point-state registers; be conservative.
+    act_floats = 5 * tcfg.hidden_dim * tile
+    return 4 * (weight_floats + act_floats)

@@ -229,6 +229,36 @@ def test_use_fused_search_config_gate():
     assert not _use_fused_search(dec, FittingConfig(fused_search="off"))
 
 
+def test_use_fused_search_vmem_gate(monkeypatch):
+    """"auto" skips trunks whose VMEM-resident weights cannot fit: the NPM
+    family's production 8x1024 offsets net failed the Mosaic compile on
+    hardware (r05 npm_fit_ab.py — every NPM fit paid a doomed compile then
+    fell back), so its estimate must exceed the gate and the NPHM
+    deformation trunk's must not.  "on" still forces a try."""
+    import jax
+
+    from nphm_tpu.config import build_expression_decoder
+    from nphm_tpu.ops.pallas_search import search_vmem_estimate
+
+    npm = build_expression_decoder(
+        {"id_decoder": {"decoder_lat_dim": 512},
+         "ex_decoder": {"decoder_lat_dim": 200, "decoder_hidden_dim": 1024,
+                        "decoder_nlayers": 8}},
+        "npm",
+    )
+    nphm_def = make_deformation_decoder(DeformationConfig())
+    assert search_vmem_estimate(npm) > (32 << 20)
+    assert search_vmem_estimate(nphm_def) <= (32 << 20)
+
+    from nphm_tpu.fitting import inference as inf
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    auto = FittingConfig(fused_search="auto")
+    assert not inf._use_fused_search(npm, auto)
+    assert inf._use_fused_search(nphm_def, auto)
+    assert inf._use_fused_search(npm, FittingConfig(fused_search="on"))
+
+
 def test_fit_joint_fused_matches_xla():
     """End-to-end: the fused-search fit reproduces the XLA fit trajectory."""
     rng = np.random.default_rng(3)
