@@ -105,6 +105,59 @@ def test_marching_tets_empty():
     assert len(v) == 0 and len(f) == 0
 
 
+def test_marching_tets_window_equals_dense():
+    """Slab windows with global coords + edge keys reproduce the dense mesh
+    exactly under arbitrary (uneven) slab splits, including the clamped
+    last slab and an empty window."""
+    from nphm_tpu.ops.marching import marching_tets_window
+
+    res = 40
+    ax = np.linspace(-1, 1, res, dtype=np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    f = (
+        np.sqrt(X**2 + Y**2 + Z**2)
+        - 0.55
+        + 0.15 * np.sin(4 * X) * np.sin(5 * Y) * np.sin(3 * Z)
+    ).astype(np.float32)
+    vd, fd = marching_tets(-f, 0.0)
+
+    # uneven splits: 17 + 13 + 10 voxel slabs, +1 halo plane except the last
+    parts, bounds = [], [(0, 17), (17, 30), (30, 40)]
+    for x0, x1 in bounds:
+        halo = 1 if x1 < res else 0
+        parts.append(
+            marching_tets_window(
+                -f[x0 : x1 + halo], (x0, 0, 0), (res, res, res), 0.0
+            )
+        )
+    verts = np.concatenate([p[0] for p in parts])
+    keys = np.concatenate([p[1] for p in parts])
+    off, faces = 0, []
+    for p in parts:
+        faces.append(p[2].astype(np.int64) + off)
+        off += len(p[0])
+    faces = np.concatenate(faces)
+    _, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+    vw, fw = verts[first], inv[faces]
+
+    assert len(vw) == len(vd)
+    assert np.array_equal(
+        vd[np.lexsort(vd.T)], vw[np.lexsort(vw.T)]
+    )
+    # triangle multisets agree (orientation-insensitive canon)
+    def tris(v, fc):
+        t = np.sort(v[fc].reshape(len(fc), 9), axis=1)
+        return np.unique(t, axis=0)
+
+    assert np.array_equal(tris(vd, fd), tris(vw, fw))
+
+    # window past the global boundary marches nothing
+    v0, k0, f0 = marching_tets_window(
+        -f[39:40], (39, 0, 0), (res, res, res), 0.0
+    )
+    assert len(v0) == 0 and len(k0) == 0 and len(f0) == 0
+
+
 # --- chunked / sharded evaluation -------------------------------------------
 
 
