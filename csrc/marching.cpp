@@ -342,15 +342,61 @@ static int merge_chunks(std::vector<Chunk>& chunks, float** out_verts,
   *n_faces = (int64_t)(faces.size() / 3);
   *out_verts = (float*)std::malloc(verts.size() * sizeof(float));
   *out_faces = (int32_t*)std::malloc(faces.size() * sizeof(int32_t));
-  if ((verts.size() && !*out_verts) || (faces.size() && !*out_faces)) return -1;
+  int64_t* kbuf = nullptr;
+  bool ok = !(verts.size() && !*out_verts) && !(faces.size() && !*out_faces);
+  if (ok && out_keys) {
+    kbuf = (int64_t*)std::malloc(keys.size() * sizeof(int64_t));
+    ok = !(keys.size() && !kbuf);
+  }
+  if (!ok) {
+    // Python raises on rc!=0 without freeing any out-pointer, so nothing
+    // half-allocated may escape — exactly the path where the host is OOM.
+    std::free(*out_verts); *out_verts = nullptr;
+    std::free(*out_faces); *out_faces = nullptr;
+    std::free(kbuf);
+    if (out_keys) *out_keys = nullptr;
+    return -1;
+  }
   std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
   std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
   if (out_keys) {
-    *out_keys = (int64_t*)std::malloc(keys.size() * sizeof(int64_t));
-    if (keys.size() && !*out_keys) return -1;
+    *out_keys = kbuf;
     std::memcpy(*out_keys, keys.data(), keys.size() * sizeof(int64_t));
   }
   return 0;
+}
+
+// Clamp owned-cell extents at the global lattice boundary (cells are owned
+// by their min corner; a cell starting at or beyond r-1 has no +1 neighbor).
+// Returns false when no owned cells remain.  Shared by all three entries so
+// the boundary rule can never drift between the dense/window/sparse paths.
+bool clamp_owned_cells(const Grid& g, int& cx, int& cy, int& cz) {
+  if (g.ox + cx > g.rx - 1) cx = (int)(g.rx - 1 - g.ox);
+  if (g.oy + cy > g.ry - 1) cy = (int)(g.ry - 1 - g.oy);
+  if (g.oz + cz > g.rz - 1) cz = (int)(g.rz - 1 - g.oz);
+  return cx > 0 && cy > 0 && cz > 0;
+}
+
+// March [0,cx)x[0,cy)x[0,cz) split into one z-band per hardware thread.
+// Shared thread-sizing for the dense and window entries (the sparse entry
+// parallelizes over blocks instead).
+void march_threaded(const Grid& g, int cx, int cy, int cz,
+                    std::vector<Chunk>& chunks) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = hw ? (int)hw : 4;
+  if (n_threads > cz) n_threads = cz;
+  if (n_threads < 1) n_threads = 1;
+  chunks.resize(n_threads);
+  std::vector<std::thread> threads;
+  int per = (cz + n_threads - 1) / n_threads;
+  for (int i = 0; i < n_threads; ++i) {
+    int z0 = i * per;
+    int z1 = z0 + per < cz ? z0 + per : cz;
+    if (z0 >= z1) continue;
+    threads.emplace_back(march_cells, std::cref(g), 0, cx, 0, cy, z0, z1,
+                         std::ref(chunks[i]));
+  }
+  for (auto& t : threads) t.join();
 }
 
 }  // namespace
@@ -363,22 +409,10 @@ int nphm_marching_tets(const float* grid, int rx, int ry, int rz, float iso,
                        float** out_verts, int64_t* n_verts,
                        int32_t** out_faces, int64_t* n_faces) {
   Grid g{grid, rx, ry, rz, 0, 0, 0, rx, ry, rz, iso};
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads = hw ? (int)hw : 4;
-  if (n_threads > rz - 1) n_threads = rz - 1;
-  if (n_threads < 1) n_threads = 1;
-
-  std::vector<Chunk> chunks(n_threads);
-  std::vector<std::thread> threads;
-  int per = (rz - 1 + n_threads - 1) / n_threads;
-  for (int i = 0; i < n_threads; ++i) {
-    int z0 = i * per;
-    int z1 = z0 + per < rz - 1 ? z0 + per : rz - 1;
-    if (z0 >= z1) { continue; }
-    threads.emplace_back(march_cells, std::cref(g), 0, rx - 1, 0, ry - 1,
-                         z0, z1, std::ref(chunks[i]));
-  }
-  for (auto& t : threads) t.join();
+  std::vector<Chunk> chunks(1);
+  int cx = rx - 1, cy = ry - 1, cz = rz - 1;
+  if (clamp_owned_cells(g, cx, cy, cz))
+    march_threaded(g, cx, cy, cz, chunks);
   return merge_chunks(chunks, out_verts, n_verts, out_faces, n_faces);
 }
 
@@ -396,33 +430,16 @@ int nphm_marching_tets_window(const float* grid, int lx, int ly, int lz,
                               int64_t* n_verts, int32_t** out_faces,
                               int64_t* n_faces) {
   Grid g{grid, lx, ly, lz, ox, oy, oz, rx, ry, rz, iso};
-  // owned cells, clamped at the global lattice boundary
   int cx = lx - 1, cy = ly - 1, cz = lz - 1;
-  if (ox + cx > rx - 1) cx = (int)(rx - 1 - ox);
-  if (oy + cy > ry - 1) cy = (int)(ry - 1 - oy);
-  if (oz + cz > rz - 1) cz = (int)(rz - 1 - oz);
-  if (cx <= 0 || cy <= 0 || cz <= 0) {
+  if (!clamp_owned_cells(g, cx, cy, cz)) {
     *n_verts = *n_faces = 0;
     *out_verts = nullptr;
     *out_faces = nullptr;
     *out_keys = nullptr;
     return 0;
   }
-  unsigned hw = std::thread::hardware_concurrency();
-  int n_threads = hw ? (int)hw : 4;
-  if (n_threads > cz) n_threads = cz;
-  if (n_threads < 1) n_threads = 1;
-  std::vector<Chunk> chunks(n_threads);
-  std::vector<std::thread> threads;
-  int per = (cz + n_threads - 1) / n_threads;
-  for (int i = 0; i < n_threads; ++i) {
-    int z0 = i * per;
-    int z1 = z0 + per < cz ? z0 + per : cz;
-    if (z0 >= z1) continue;
-    threads.emplace_back(march_cells, std::cref(g), 0, cx, 0, cy, z0, z1,
-                         std::ref(chunks[i]));
-  }
-  for (auto& t : threads) t.join();
+  std::vector<Chunk> chunks;
+  march_threaded(g, cx, cy, cz, chunks);
   return merge_chunks(chunks, out_verts, n_verts, out_faces, n_faces,
                       out_keys);
 }
@@ -455,12 +472,8 @@ int nphm_marching_tets_blocks(const float* blocks, const int32_t* offsets,
       Grid g{blocks + b * block_sz, lx, ly, lz,
              offsets[3 * b], offsets[3 * b + 1], offsets[3 * b + 2],
              rx, ry, rz, iso};
-      // clamp owned cells at the global lattice boundary
       int cx = bsx, cy = bsy, cz = bsz;
-      if (g.ox + cx > rx - 1) cx = (int)(rx - 1 - g.ox);
-      if (g.oy + cy > ry - 1) cy = (int)(ry - 1 - g.oy);
-      if (g.oz + cz > rz - 1) cz = (int)(rz - 1 - g.oz);
-      if (cx <= 0 || cy <= 0 || cz <= 0) continue;
+      if (!clamp_owned_cells(g, cx, cy, cz)) continue;
       march_cells(g, 0, cx, 0, cy, 0, cz, chunks[ti]);
     }
   };

@@ -375,12 +375,25 @@ def _use_fused_search(decoder_expr, cfg: FittingConfig, mesh=None) -> bool:
     return True
 
 
-# Memoized kernel-downgrade outcomes: (tag, decoders, cfg) -> the flag
-# overrides that made the program build.  A kernel-compile failure is a
-# deterministic property of (kernel, shapes, config), so rediscovering it
+# Memoized kernel-downgrade outcomes: (tag, decoders, mesh, cfg) -> the
+# flag overrides that made the program build.  A kernel-compile failure is
+# a deterministic property of (kernel, shapes, config), so rediscovering it
 # per fit call just repays a doomed trace/compile — the r04 driver bench
 # paid FOUR rediscoveries (eight program builds) and timed out.
 _KERNEL_FALLBACK_CACHE: Dict = {}
+
+
+def _mesh_key(mesh):
+    """Hashable mesh identity for the fallback cache.
+
+    Kernel lowering depends on the per-device shard shapes (mesh axis
+    sizes) and the platform, not merely mesh-vs-no-mesh: an 8-device
+    downgrade must not leak onto single-device fits of the same decoders,
+    and vice versa.
+    """
+    if mesh is None:
+        return None
+    return tuple(mesh.shape.items()), mesh.devices.flat[0].platform
 
 
 def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
@@ -393,48 +406,54 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
     If the fused-kernel variant fails to COMPILE (tiny architectures hit a
     Mosaic "only constant accumulators supported" error — see
     .claude/skills/verify/SKILL.md), rebuild on a DOWNGRADED path and
-    retry — one kernel at a time: first drop ``fused_search`` (keeping the
-    proven fit kernel), then ``fused_shape_fields`` (the r04 all-or-nothing
-    fallback threw away ~40% fit throughput when only the search kernel
-    failed).  The winning downgrade is memoized per (tag, decoders, cfg) so
-    subsequent calls in the process skip the doomed builds entirely.  Only
-    kernel-compile signatures (ops/fallback.py) trigger the fallback: a
-    genuine runtime failure (OOM, worker crash, NaN guard) must surface
-    immediately rather than be replayed — more slowly — on XLA, and must
-    reach ``fit_joint_batch_resilient``'s bisection untouched.  Returns
+    retry, walking a ladder of flag combinations ordered by retained
+    throughput: search off (fit kernel kept), then fields off with the
+    search kernel RESTORED (the two lower independently — a fields failure
+    must not take the healthy search kernel down with it), then both off.
+    The r04 all-or-nothing fallback threw away ~40% fit throughput when
+    only the search kernel failed.  The winning rung is memoized per
+    (tag, decoders, mesh, cfg) so subsequent calls in the process skip the
+    doomed builds entirely.  Only kernel-compile signatures
+    (ops/fallback.py) trigger the fallback: a genuine runtime failure
+    (OOM, worker crash, NaN guard) must surface immediately rather than be
+    replayed — more slowly — on XLA, and must reach
+    ``fit_joint_batch_resilient``'s bisection untouched.  Returns
     (materialized outputs, elapsed seconds of the successful run).
     """
-    key = (tag, decoder_shape, decoder_expr, mesh is None, cfg)
-    overrides = dict(_KERNEL_FALLBACK_CACHE.get(key, ()))
-    if overrides:
-        cfg = dataclasses.replace(cfg, **overrides)
+    key = (tag, decoder_shape, decoder_expr, _mesh_key(mesh), cfg)
+    search_on = decoder_expr is not None and _use_fused_search(
+        decoder_expr, cfg, mesh
+    )
+    fields_on = _shape_fields_fn(decoder_shape, cfg, mesh) is not None
+    ladder = [()]
+    if search_on:
+        ladder.append((("fused_search", "off"),))
+    if fields_on:
+        ladder.append((("fused_shape_fields", "off"),))
+    if search_on and fields_on:
+        ladder.append((("fused_search", "off"), ("fused_shape_fields", "off")))
+    cached = _KERNEL_FALLBACK_CACHE.get(key)
+    rung = ladder.index(cached) if cached in ladder else 0
     while True:
+        overrides = dict(ladder[rung])
+        run_cfg = dataclasses.replace(cfg, **overrides) if overrides else cfg
         t0 = time.time()
         try:
-            out = driver(make_run(cfg))
+            out = driver(make_run(run_cfg))
             out = jax.tree_util.tree_map(np.asarray, out), time.time() - t0
-            if overrides:
-                _KERNEL_FALLBACK_CACHE[key] = tuple(sorted(overrides.items()))
+            if rung:
+                _KERNEL_FALLBACK_CACHE[key] = ladder[rung]
             return out
         except Exception as e:  # noqa: BLE001 — the relay wraps compile errors
             if not kernel_compile_error(e):
                 raise
-            search_on = decoder_expr is not None and _use_fused_search(
-                decoder_expr, cfg, mesh
-            )
-            fields_on = _shape_fields_fn(decoder_shape, cfg, mesh) is not None
-            if search_on:
-                step = {"fused_search": "off"}
-            elif fields_on:
-                step = {"fused_shape_fields": "off"}
-            else:
+            rung += 1
+            if rung >= len(ladder):
                 raise  # pure-XLA program failed: nothing left to downgrade
-            overrides.update(step)
             print(
                 f"[{tag}] fused-kernel fit program failed "
-                f"({type(e).__name__}); retrying with {step}"
+                f"({type(e).__name__}); retrying with {dict(ladder[rung])}"
             )
-            cfg = dataclasses.replace(cfg, **step)
 
 
 def _fit_segments(cfg: FittingConfig, decoder_shape, total: int):

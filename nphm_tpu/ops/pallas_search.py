@@ -342,7 +342,7 @@ def broyden_search_pallas(
     # a multiple of 128 OR the full array dim, so the obvious per-obs
     # [H, 1] column block over [H, B] is NOT lowerable for B > 1 — exactly
     # the r04 driver-bench failure (interpret-mode tests don't check block
-    # shapes; tests/test_pallas_search.py now asserts the Mosaic rule on
+    # shapes; tests/test_pallas_lowering.py asserts the Mosaic rule on
     # every spec).  Each tile's panel repeats its obs's bias across 128
     # lanes; the kernel reads column 0.  Cost: n_t*128*H*4 bytes of HBM
     # (~1.3 MB at production fit dims) staged once per kernel invocation.

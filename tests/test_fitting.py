@@ -716,9 +716,10 @@ def test_backend_crash_error_classification():
 
 
 def test_staged_memoized_kernel_fallback():
-    """VERDICT r4 items 1-2: a kernel-compile failure downgrades ONE flag at
-    a time (search first, then the fit kernel) and the outcome is memoized —
-    later calls with the same (decoders, cfg) skip the doomed builds."""
+    """VERDICT r4 items 1-2: a kernel-compile failure walks a downgrade
+    ladder — search off (fit kernel kept), fields off (search RESTORED),
+    both off — and the winning rung is memoized per (decoders, mesh, cfg)
+    so later calls skip the doomed builds."""
     from nphm_tpu.fitting.inference import (
         _KERNEL_FALLBACK_CACHE,
         _coerce_cfg,
@@ -773,7 +774,44 @@ def test_staged_memoized_kernel_fallback():
     )
     assert attempts == [("off", "on")]
 
-    # both kernels doomed -> search off, then fields off
+    # the memoized downgrade is keyed by MESH identity, not mesh-vs-None:
+    # the same decoders/cfg on an 8-device mesh must rediscover its own
+    # downgrade rather than inherit the single-device one
+    devs = jax.devices()
+    if len(devs) >= 8:
+        mesh8 = jax.sharding.Mesh(np.array(devs[:8]), ("dp",))
+        attempts.clear()
+        out, _ = _run_with_xla_fallback(
+            make_run, cfg0, shape_dec, driver, "test",
+            mesh=mesh8, decoder_expr=expr_dec,
+        )
+        assert attempts == [("on", "on"), ("off", "on")]
+
+    # only the FIELDS kernel doomed -> the ladder restores the healthy
+    # search kernel after the innocent search-off rung fails too
+    def make_run_fields(cfg):
+        def run():
+            attempts.append((cfg.fused_search, cfg.fused_shape_fields))
+            if cfg.fused_shape_fields != "off":
+                raise ValueError("error in pallas_call lowering")
+            return {"ok": jnp.ones(())}
+        return run
+
+    attempts.clear()
+    _KERNEL_FALLBACK_CACHE.clear()
+    out, _ = _run_with_xla_fallback(
+        make_run_fields, cfg0, shape_dec, driver, "testf",
+        decoder_expr=expr_dec,
+    )
+    assert attempts == [("on", "on"), ("off", "on"), ("on", "off")]
+    attempts.clear()
+    out, _ = _run_with_xla_fallback(
+        make_run_fields, cfg0, shape_dec, driver, "testf",
+        decoder_expr=expr_dec,
+    )
+    assert attempts == [("on", "off")]  # memoized: search kernel kept
+
+    # both kernels doomed -> walk the full ladder to (off, off)
     def make_run_both(cfg):
         def run():
             attempts.append((cfg.fused_search, cfg.fused_shape_fields))
@@ -787,7 +825,9 @@ def test_staged_memoized_kernel_fallback():
     out, _ = _run_with_xla_fallback(
         make_run_both, cfg0, shape_dec, driver, "test2", decoder_expr=expr_dec
     )
-    assert attempts == [("on", "on"), ("off", "on"), ("off", "off")]
+    assert attempts == [
+        ("on", "on"), ("off", "on"), ("on", "off"), ("off", "off")
+    ]
 
     # a non-kernel failure must surface immediately, never downgrade
     def make_run_crash(cfg):
