@@ -357,11 +357,16 @@ static int merge_chunks(std::vector<Chunk>& chunks, float** out_verts,
     if (out_keys) *out_keys = nullptr;
     return -1;
   }
-  std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
-  std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
+  // size guards: malloc(0) may return NULL and memcpy args are declared
+  // nonnull — an empty mesh must not invoke UB
+  if (!verts.empty())
+    std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
+  if (!faces.empty())
+    std::memcpy(*out_faces, faces.data(), faces.size() * sizeof(int32_t));
   if (out_keys) {
     *out_keys = kbuf;
-    std::memcpy(*out_keys, keys.data(), keys.size() * sizeof(int64_t));
+    if (!keys.empty())
+      std::memcpy(*out_keys, keys.data(), keys.size() * sizeof(int64_t));
   }
   return 0;
 }

@@ -297,11 +297,7 @@ def _shape_fields_fn(decoder_shape, cfg: FittingConfig, mesh=None):
     The "auto" gate uses the platform the fit actually runs on: the MESH's
     devices when one is given, else the default backend (which sees "tpu"
     even in CPU-forced tests — see the verify skill notes)."""
-    plat = (
-        mesh.devices.flat[0].platform
-        if mesh is not None
-        else jax.default_backend()
-    )
+    plat = _platform(mesh)
     mode = cfg.fused_shape_fields
     if mode == "auto":
         use = getattr(decoder_shape, "kind", None) == "nphm" and plat == "tpu"
@@ -356,11 +352,7 @@ def _use_fused_search(decoder_expr, cfg: FittingConfig, mesh=None) -> bool:
     if not search_fusable(decoder_expr):
         return False
     if mode == "auto":
-        plat = (
-            mesh.devices.flat[0].platform
-            if mesh is not None
-            else jax.default_backend()
-        )
+        plat = _platform(mesh)
         # Oversized trunks cannot hold their weights VMEM-resident: the NPM
         # family's 8x1024 offsets net (estimate 48 MB; Mosaic's real scoped
         # need runs ~1.6x the estimate — the 8x512 NPHM trunk estimates
@@ -383,21 +375,33 @@ def _use_fused_search(decoder_expr, cfg: FittingConfig, mesh=None) -> bool:
 _KERNEL_FALLBACK_CACHE: Dict = {}
 
 
+def _platform(mesh=None) -> str:
+    """The platform a fit actually runs on: the MESH's devices when one is
+    given, else the default backend (which sees "tpu" even in CPU-forced
+    tests — see the verify skill notes).  The single source for every gate
+    and cache key in this module, so "what platform is this fit" can never
+    drift between them."""
+    if mesh is not None:
+        return mesh.devices.flat[0].platform
+    return jax.default_backend()
+
+
 def _mesh_key(mesh):
     """Hashable mesh identity for the fallback cache.
 
     Kernel lowering depends on the per-device shard shapes (mesh axis
     sizes) and the platform, not merely mesh-vs-no-mesh: an 8-device
     downgrade must not leak onto single-device fits of the same decoders,
-    and vice versa.
+    and vice versa.  (The padded DATA dims complete the shard shapes;
+    callers pass those via ``shapes``.)
     """
     if mesh is None:
         return None
-    return tuple(mesh.shape.items()), mesh.devices.flat[0].platform
+    return tuple(mesh.shape.items()), _platform(mesh)
 
 
 def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
-                           decoder_expr=None):
+                           decoder_expr=None, shapes=None):
     """Execute a cached fit runner, materializing every output.
 
     ``driver(run_fn)`` performs the actual call(s) — one invocation for the
@@ -411,16 +415,23 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
     search kernel RESTORED (the two lower independently — a fields failure
     must not take the healthy search kernel down with it), then both off.
     The r04 all-or-nothing fallback threw away ~40% fit throughput when
-    only the search kernel failed.  The winning rung is memoized per
-    (tag, decoders, mesh, cfg) so subsequent calls in the process skip the
-    doomed builds entirely.  Only kernel-compile signatures
+    only the search kernel failed.  (When BOTH kernels are doomed the
+    fields-off-search-restored rung is one extra doomed build vs blaming
+    them together — accepted: it is what buys back the healthy search
+    kernel in the fields-only case, failures are memoized per process, and
+    Mosaic lowering errors surface during lowering, not after a full
+    compile.)  The winning rung is memoized per (tag, decoders, mesh,
+    padded data shapes, cfg) — ``shapes`` must carry the padded dims that
+    shape the traced program (subject/obs/point pads), since a downgrade
+    discovered at one batch size must not leak onto another.  Only
+    kernel-compile signatures
     (ops/fallback.py) trigger the fallback: a genuine runtime failure
     (OOM, worker crash, NaN guard) must surface immediately rather than be
     replayed — more slowly — on XLA, and must reach
     ``fit_joint_batch_resilient``'s bisection untouched.  Returns
     (materialized outputs, elapsed seconds of the successful run).
     """
-    key = (tag, decoder_shape, decoder_expr, _mesh_key(mesh), cfg)
+    key = (tag, decoder_shape, decoder_expr, _mesh_key(mesh), shapes, cfg)
     search_on = decoder_expr is not None and _use_fused_search(
         decoder_expr, cfg, mesh
     )
@@ -687,10 +698,7 @@ def _joint_batch_runner(decoder_shape, decoder_expr, cfg: FittingConfig,
     adam = optax.scale_by_adam()
     fused_fields = _shape_fields_fn(decoder_shape, cfg, mesh)
     warm = cfg.warm_start_corresp
-    plat = (
-        mesh.devices.flat[0].platform if mesh is not None
-        else jax.default_backend()
-    )
+    plat = _platform(mesh)
     loss_fn = _make_joint_loss(
         decoder_shape, decoder_expr, cfg, lam_keys, fused_fields,
         fused_search=_use_fused_search(decoder_expr, cfg, mesh),
@@ -915,6 +923,7 @@ def fit_joint(
     ((lat_shape, lat_expr), hist), elapsed = _run_with_xla_fallback(
         lambda c: _joint_runner(decoder_shape, decoder_expr, c, lam_keys),
         cfg, decoder_shape, driver, "fit_joint", decoder_expr=decoder_expr,
+        shapes=(o_pad, p_pad),
     )
     history = {k: hist[:, i] for i, k in enumerate(_JOINT_HIST_KEYS)}
     lat_expr = lat_expr[:n_obs]
@@ -1089,6 +1098,7 @@ def fit_joint_batch(
         ),
         cfg, decoder_shape, driver, "fit_joint_batch",
         mesh=mesh, decoder_expr=decoder_expr,
+        shapes=(S_pad, o_max, p_max),
     )
     losses = losses[:, :S]
     biters = biters[:, :S]
@@ -1346,7 +1356,7 @@ def fit_identity(
             lat_shape, opt_state, params_shape, padded, lens, n_obs,
             base_key, lr_arr, lam_mat, clamp_arr,
         ),
-        "fit_identity",
+        "fit_identity", shapes=(o_pad, p_pad),
     )
     history = {k: hist[:, i] for i, k in enumerate(_ID_HIST_KEYS)}
     if verbose:
