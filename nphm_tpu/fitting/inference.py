@@ -467,21 +467,22 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
             )
 
 
-def _fit_segments(cfg: FittingConfig, decoder_shape, total: int):
+def _fit_segments(cfg: FittingConfig, decoder_shape, total: int, mesh=None):
     """Resolve ``steps_per_call`` into a list of (step_offset, length).
 
     -1 (auto) keeps the NPHM family on its measured-safe single-scan
     program and segments everything else (the NPM family's global DeepSDF
     fit) into 125-step device invocations on a real TPU backend; CPU runs
     are never segmented by auto (no relay, no crash surface, and tests
-    cover the explicit setting).
+    cover the explicit setting).  Gates on the platform the fit actually
+    runs on (``_platform``: the mesh's devices when one is given).
     """
     seg = cfg.steps_per_call
     if seg < 0:
         is_nphm = getattr(decoder_shape, "kind", None) == "nphm"
         seg = (
             125
-            if not is_nphm and jax.default_backend() == "tpu"
+            if not is_nphm and _platform(mesh) == "tpu"
             else 0
         )
     if seg <= 0 or seg >= total:
@@ -1065,7 +1066,7 @@ def fit_joint_batch(
         if warm_j
         else jnp.zeros((S_pad, 1))
     )
-    segments = _fit_segments(cfg, decoder_shape, total)
+    segments = _fit_segments(cfg, decoder_shape, total, mesh)
 
     def driver(run_fn):
         carry = (lat_shape, lat_expr, opt_shape_state, opt_expr_state,
