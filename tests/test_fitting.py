@@ -586,6 +586,19 @@ def test_fit_segments_auto_resolution():
     assert _fit_segments(FittingConfig(), shape, 100) == [(0, 100)]
 
 
+def test_fit_segments_auto_gates_on_mesh_platform():
+    """Auto segmentation decides on the platform the fit actually RUNS on
+    (the mesh's devices), not the default backend: a CPU-mesh fit is never
+    auto-segmented even when the process default is TPU."""
+    from jax.sharding import Mesh
+
+    from nphm_tpu.fitting.inference import _fit_segments
+
+    shape = SphereDecoder()  # non-NPHM: the family auto WOULD segment on TPU
+    mesh = Mesh(np.array(jax.devices("cpu")[:1]), ("dp",))
+    assert _fit_segments(FittingConfig(), shape, 1000, mesh) == [(0, 1000)]
+
+
 def test_fit_joint_batch_resilient_bisects_on_crash():
     """VERDICT r1 item 6: a 23-subject protocol must survive injected TPU
     worker crashes.  A fake batch runner dies for groups > 4 (and once for
