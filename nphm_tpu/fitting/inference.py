@@ -976,7 +976,12 @@ def fit_joint_batch(
     repeatedly; the one recorded round-2 S=8 crash ("TPU worker process
     crashed or restarted") is therefore a transient worker/relay failure,
     not a program-capacity limit.  ``fit_joint_batch_resilient`` remains
-    the guard for exactly that failure class.
+    the guard for exactly that failure class.  S=16 is a measured dead
+    end (BATCHSIZE_AB_r05.json, 2026-08-20): no throughput gain over S=8
+    (4.81 vs 4.64-4.73 s/subject — the vmapped matmuls already saturate
+    the chip) and the unsegmented 1000-step S=16 invocation reliably
+    crashes the worker (the same over-long-invocation class the NPM
+    family's auto-segmentation exists for).
     The per-subject optimization trajectory is identical to ``fit_joint``
     up to RNG draws (each subject folds its own seed).
 
