@@ -1169,6 +1169,14 @@ def fit_joint_batch_resilient(
     store and Adam state live inside each (re-executed) group fit, so a
     recovered retry is a clean re-fit of that group, not a resume.
 
+    When ``recover_backend()`` itself FAILS the backend is gone for this
+    process — continuing the bisection would burn a full ~3-minute
+    recovery ladder per rung against a dead runtime (measured live on the
+    S=16 worker crash, 2026-08-20: five rungs ≈ 16 wasted minutes before
+    the honest re-raise).  The wrapper then aborts immediately with a
+    clear error; a fresh process is the only cure (the chip itself
+    recovers on its own — verify-skill record).
+
     Same contract as ``fit_joint_batch``; ``history`` additionally records
     ``group_sizes`` (the sizes that ultimately succeeded) and ``crashes``.
     ``_batch_fn``/``_single_fn`` are test seams.
@@ -1178,6 +1186,17 @@ def fit_joint_batch_resilient(
     batch_fn = _batch_fn or fit_joint_batch
     single_fn = _single_fn or fit_joint
     recover_fn = _recover_fn or recover_backend
+
+    def _recover_or_abort(e):
+        """After a crash-shaped failure, re-init the backend or abort the
+        whole ladder: retries into a dead backend cost ~3 min each."""
+        if backend_crash_error(e) and not recover_fn():
+            raise RuntimeError(
+                "[fit_joint_batch_resilient] the TPU backend did not "
+                "recover in-process after a worker crash; a fresh process "
+                "is required (bisection aborted — every further retry "
+                "would burn a full recovery ladder against a dead runtime)"
+            ) from e
     # Host-side param snapshots: device buffers do not survive a worker
     # crash + backend re-init; numpy leaves re-upload transparently on the
     # next call (a few MB once per protocol — noise vs the fit itself).
@@ -1210,8 +1229,7 @@ def fit_joint_batch_resilient(
                         "[fit_joint_batch_resilient] single-subject fit "
                         f"failed ({type(e).__name__}: {e}); retrying once"
                     )
-                    if backend_crash_error(e):
-                        recover_fn()
+                    _recover_or_abort(e)
         try:
             le, ls, an, h = batch_fn(
                 decoder_shape, params_shape, decoder_expr, params_expr,
@@ -1226,8 +1244,7 @@ def fit_joint_batch_resilient(
                 f"[fit_joint_batch_resilient] {S}-subject fit failed "
                 f"({type(e).__name__}: {e}); bisecting to {half}+{S - half}"
             )
-            if backend_crash_error(e):
-                recover_fn()
+            _recover_or_abort(e)
             # bisected retries drop the subject padding: after a (likely
             # capacity) crash, shrinking the program is the whole point
             le1, ls1, an1, h1 = fit_group(group[:half])

@@ -647,6 +647,33 @@ def test_fit_joint_batch_resilient_bisects_on_crash():
     assert len(recoveries) == hist["crashes"]
 
 
+def test_fit_joint_batch_resilient_aborts_when_backend_unrecoverable():
+    """Measured live (BATCHSIZE_AB_r05 S=16 crash, 2026-08-20): a worker
+    crash that the in-process recovery cannot cure poisons every retry,
+    and each bisection rung burns a full ~3-minute recovery ladder.  When
+    ``recover_backend`` reports failure the wrapper must abort at once —
+    one batch attempt, one recovery attempt, no bisection."""
+    from nphm_tpu.fitting.inference import fit_joint_batch_resilient
+
+    calls = {"batch": 0, "recover": 0}
+
+    def fake_batch(*a, **kw):
+        calls["batch"] += 1
+        raise RuntimeError("TPU worker process crashed or restarted")
+
+    def fake_recover():
+        calls["recover"] += 1
+        return False
+
+    with pytest.raises(RuntimeError, match="fresh process"):
+        fit_joint_batch_resilient(
+            None, None, None, None, [[i] for i in range(8)],
+            _batch_fn=fake_batch, _single_fn=fake_batch,
+            _recover_fn=fake_recover,
+        )
+    assert calls["batch"] == 1 and calls["recover"] == 1
+
+
 def test_fit_joint_batch_resilient_singleton_failure_reraises():
     from nphm_tpu.fitting.inference import fit_joint_batch_resilient
 
