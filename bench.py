@@ -532,14 +532,21 @@ def main():
         fit_joint(
             decoder, params, expr, p_expr, obs, cfg=fc_small, verbose=False
         )
-        t0 = time.perf_counter()
-        fit_joint(decoder, params, expr, p_expr, obs, cfg=fc, verbose=False)
-        t_big = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fit_joint(
-            decoder, params, expr, p_expr, obs, cfg=fc_small, verbose=False
-        )
-        t_small = time.perf_counter() - t0
+
+        def _timed(c):
+            t0 = time.perf_counter()
+            fit_joint(decoder, params, expr, p_expr, obs, cfg=c, verbose=False)
+            return time.perf_counter() - t0
+
+        # min-of-3: relay jitter only ever ADDS wall time, so the min of
+        # repeated warm calls is the better point estimate (same-day r05
+        # steady measurements spread 225.8-239.9 on single-shot timings —
+        # pure between-call relay variance at identical programs; the
+        # steady differencing amplifies per-call overhead noise by
+        # n_fit/(n_fit - n_small))
+        reps = int(os.environ.get("BENCH_FIT_REPS", 3))
+        t_big = min(_timed(fc) for _ in range(reps))
+        t_small = min(_timed(fc_small) for _ in range(reps))
         extra["fit_iters_per_s"] = round(n_fit / t_big, 2)
         if n_fit > n_small and t_big > t_small:
             per_step = (t_big - t_small) / (n_fit - n_small)
