@@ -544,7 +544,7 @@ def main():
         # pure between-call relay variance at identical programs; the
         # steady differencing amplifies per-call overhead noise by
         # n_fit/(n_fit - n_small))
-        reps = int(os.environ.get("BENCH_FIT_REPS", 3))
+        reps = max(1, int(os.environ.get("BENCH_FIT_REPS", 3)))
         t_big = min(_timed(fc) for _ in range(reps))
         t_small = min(_timed(fc_small) for _ in range(reps))
         extra["fit_iters_per_s"] = round(n_fit / t_big, 2)

@@ -467,12 +467,19 @@ def _run_with_xla_fallback(make_run, cfg, decoder_shape, driver, tag, mesh=None,
             )
 
 
-def _fit_segments(cfg: FittingConfig, decoder_shape, total: int, mesh=None):
+def _fit_segments(cfg: FittingConfig, decoder_shape, total: int, mesh=None,
+                  subjects_per_device: int = 1):
     """Resolve ``steps_per_call`` into a list of (step_offset, length).
 
     -1 (auto) keeps the NPHM family on its measured-safe single-scan
-    program and segments everything else (the NPM family's global DeepSDF
-    fit) into 125-step device invocations on a real TPU backend; CPU runs
+    program UP TO 8 vmapped subjects per device and segments everything
+    else — the NPM family's global DeepSDF fit at any size, and NPHM
+    batches past 8 subjects/device — into 125-step device invocations on
+    a real TPU backend.  The NPHM S-gate is measured, not cautious: an
+    UNSEGMENTED 1000-step S=16 NPHM invocation reliably crashes the TPU
+    worker and the crash poisons the in-process backend permanently,
+    while segmentation itself costs nothing (37.84 vs 37.15 s at S=8
+    seg125; BATCHSIZE_AB_r05.json + RESILIENT_PROBE_r05.json).  CPU runs
     are never segmented by auto (no relay, no crash surface, and tests
     cover the explicit setting).  Gates on the platform the fit actually
     runs on (``_platform``: the mesh's devices when one is given).
@@ -480,9 +487,10 @@ def _fit_segments(cfg: FittingConfig, decoder_shape, total: int, mesh=None):
     seg = cfg.steps_per_call
     if seg < 0:
         is_nphm = getattr(decoder_shape, "kind", None) == "nphm"
+        safe_unsegmented = is_nphm and subjects_per_device <= 8
         seg = (
             125
-            if not is_nphm and _platform(mesh) == "tpu"
+            if not safe_unsegmented and _platform(mesh) == "tpu"
             else 0
         )
     if seg <= 0 or seg >= total:
@@ -1071,7 +1079,10 @@ def fit_joint_batch(
         if warm_j
         else jnp.zeros((S_pad, 1))
     )
-    segments = _fit_segments(cfg, decoder_shape, total, mesh)
+    segments = _fit_segments(
+        cfg, decoder_shape, total, mesh,
+        subjects_per_device=S_pad // (mesh.size if mesh is not None else 1),
+    )
 
     def driver(run_fn):
         carry = (lat_shape, lat_expr, opt_shape_state, opt_expr_state,
@@ -1189,7 +1200,17 @@ def fit_joint_batch_resilient(
 
     def _recover_or_abort(e):
         """After a crash-shaped failure, re-init the backend or abort the
-        whole ladder: retries into a dead backend cost ~3 min each."""
+        whole ladder: retries into a dead backend cost ~3 min each.
+
+        Trade-off accepted: a TRANSIENT relay outage that outlasts one
+        full ``recover_backend`` ladder also aborts here, where the old
+        keep-bisecting behavior might have outlived it.  The ladder is
+        not a 3-minute fuse though — against a down-but-healing relay its
+        probes BLOCK for up to 120 s each (5 probes + backoff ≈ 13 min of
+        grace); against a genuinely dead backend the probes fail fast
+        (~3 min total, the measured case).  An outage longer than the
+        ladder kills the old behavior too, just ~16 doomed minutes later;
+        the clear abort is the better failure."""
         if backend_crash_error(e) and not recover_fn():
             raise RuntimeError(
                 "[fit_joint_batch_resilient] the TPU backend did not "

@@ -10,12 +10,19 @@ r02 S=8 worker crash was transient, but S=16 doubles the per-invocation
 device time, so a crash here is itself a result (the protocol must then
 keep 8).
 
-Method (verify-skill discipline): both variants share ONE process and one
-synthetic observation set (20 obs x 2500 pts per subject, 1000 steps, the
-default fused-kernel stack).  Each variant runs twice — the first call
-pays the compile, the second is the steady measurement.  Prints one JSON
-line per variant with the steady wall, subject-steps/s, and mean final
-loss (which must agree between variants: same per-subject recipe).
+Method (verify-skill discipline): all variants share ONE process (relay
+variance is between-run, not within-run); each variant fits a FIXED
+prefix of one seeded subject pool (20 obs x 2500 pts per subject, 1000
+steps, the default fused-kernel stack), so the subjects S=8 fits are
+exactly the first 8 of the S=16 set.  Each variant runs twice — the
+first call pays the compile, the second is the steady measurement.
+Prints one JSON line per variant with the steady wall, subject-steps/s,
+and mean final loss (the shared-prefix subjects make losses comparable
+in distribution; vmapped padding/rng differ per S, so exact equality is
+not expected).  A crashed variant poisons the in-process backend:
+``recover_backend`` runs between specs, and if it fails the remaining
+specs are recorded as skipped rather than measured against a dead
+runtime.
 
 Reference being scaled: the serial per-subject protocol loop at
 /root/reference/scripts/fitting/fitting_pointclouds.py:241-287.
@@ -67,21 +74,27 @@ for a in sys.argv[1:] or ["8", "16"]:
     SPECS.append((int(s), int(seg) if seg else 0))
 
 
-def make_subjects(S):
-    return [
-        [
-            rng.normal(size=(N_PTS, 3)).astype(np.float32) * 0.3
-            for _ in range(N_OBS)
-        ]
-        for _ in range(S)
+# one seeded pool; every variant fits a prefix of it
+_pool_rng = np.random.default_rng(12345)
+POOL = [
+    [
+        _pool_rng.normal(size=(N_PTS, 3)).astype(np.float32) * 0.3
+        for _ in range(N_OBS)
     ]
+    for _ in range(max(s for s, _ in SPECS))
+]
 
-
+backend_dead = False
 for S, seg in SPECS:
+    if backend_dead:
+        print(json.dumps({"S": S, "steps_per_call": seg or "auto",
+                          "skipped": "backend dead after earlier crash"}),
+              flush=True)
+        continue
     cfg = FittingConfig(
         n_steps=N_STEPS, log_every=100000, steps_per_call=seg or -1
     )
-    subjects = make_subjects(S)
+    subjects = POOL[:S]
     try:
         # call 1: compile + run; call 2: steady
         fit_joint_batch(
@@ -114,3 +127,9 @@ for S, seg in SPECS:
             }),
             flush=True,
         )
+        # a worker crash poisons the in-process backend; re-init it (or
+        # mark the rest skipped) so later specs measure a live runtime
+        from nphm_tpu.ops.fallback import backend_crash_error, recover_backend
+
+        if backend_crash_error(e):
+            backend_dead = not recover_backend()

@@ -586,17 +586,47 @@ def test_fit_segments_auto_resolution():
     assert _fit_segments(FittingConfig(), shape, 100) == [(0, 100)]
 
 
-def test_fit_segments_auto_gates_on_mesh_platform():
+def test_fit_segments_auto_gates_on_mesh_platform(monkeypatch):
     """Auto segmentation decides on the platform the fit actually RUNS on
     (the mesh's devices), not the default backend: a CPU-mesh fit is never
-    auto-segmented even when the process default is TPU."""
+    auto-segmented even when the process default is TPU.  The suite forces
+    a CPU default backend, so the TPU default is monkeypatched in — without
+    that both paths return 'cpu' and the test would pass vacuously."""
     from jax.sharding import Mesh
 
+    from nphm_tpu.fitting import inference
     from nphm_tpu.fitting.inference import _fit_segments
 
-    shape = SphereDecoder()  # non-NPHM: the family auto WOULD segment on TPU
+    monkeypatch.setattr(inference.jax, "default_backend", lambda: "tpu")
+    shape = SphereDecoder()  # non-NPHM: the family auto DOES segment on TPU
+    # no mesh -> the (fake) TPU default backend governs: segmented
+    assert len(_fit_segments(FittingConfig(), shape, 1000)) == 8
+    # CPU mesh -> the mesh platform governs: unsegmented
     mesh = Mesh(np.array(jax.devices("cpu")[:1]), ("dp",))
     assert _fit_segments(FittingConfig(), shape, 1000, mesh) == [(0, 1000)]
+
+
+def test_fit_segments_auto_segments_large_nphm_batches(monkeypatch):
+    """Measured (BATCHSIZE_AB_r05 + RESILIENT_PROBE_r05): an unsegmented
+    1000-step S=16 NPHM invocation crashes the TPU worker and poisons the
+    backend, while segmentation is free.  Auto must therefore segment NPHM
+    batch fits past 8 subjects/device and leave S<=8 on the measured-safe
+    single-scan program."""
+    from nphm_tpu.fitting import inference
+    from nphm_tpu.fitting.inference import _fit_segments
+
+    monkeypatch.setattr(inference.jax, "default_backend", lambda: "tpu")
+
+    class NphmDecoder:
+        kind = "nphm"
+
+    cfg = FittingConfig()
+    assert _fit_segments(cfg, NphmDecoder(), 1000, subjects_per_device=8) == [
+        (0, 1000)
+    ]
+    assert len(
+        _fit_segments(cfg, NphmDecoder(), 1000, subjects_per_device=16)
+    ) == 8
 
 
 def test_fit_joint_batch_resilient_bisects_on_crash():
